@@ -1,0 +1,413 @@
+"""Hierarchical configuration for the InterNet TPU rebuild.
+
+Capability parity with the reference config system
+(``/root/reference/lib/config.py:47-477`` and the YAML/CLI merge helpers in
+``/root/reference/tools/utils.py:120-246``): the same 12 namespaces
+(MODEL / DATASET / RPN / MRCNN / DATA / ROIS / TEST / TRAIN / DEV / CTRL /
+TSNE / MISC), the same option names and defaults, YAML overlay with strict
+unknown-key rejection and type coercion, trailing ``KEY.SUBKEY VALUE`` CLI
+overrides, and derived values computed in :meth:`Config.finalize`.
+
+TPU-specific additions live under ``TPU.*`` (mesh shape, dtype policy,
+padded static shapes) — everything under ``jit`` needs static shapes, so the
+ragged quantities of the reference (GT count, NMS keep count, RoIs per level)
+all get explicit padded maxima here.
+"""
+
+from __future__ import annotations
+
+import ast
+import math
+import os
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+import yaml
+
+from .utils.collections import AttrDict
+
+# Stage-wise trainable-parameter regexes, matched against flax param paths
+# (e.g. "fpn/p5_lateral/kernel", "backbone/c4/block3/conv1/kernel").
+# Mirrors the reference LAYER_REGEX over torch module names
+# (/root/reference/lib/config.py:10-26).
+LAYER_REGEX = {
+    "heads": r"(fpn/.*)|(rpn/.*)|(classifier/.*)|(mask/.*)|(dev/.*)|(ot_loss/.*)|(fpn_ot/.*)",
+    "3+": r"(backbone/c3.*)|(backbone/c4.*)|(backbone/c5.*)|(fpn/.*)|(rpn/.*)|"
+          r"(classifier/.*)|(mask/.*)|(dev/.*)|(ot_loss/.*)|(fpn_ot/.*)",
+    "4+": r"(backbone/c4.*)|(backbone/c5.*)|(fpn/.*)|(rpn/.*)|"
+          r"(classifier/.*)|(mask/.*)|(dev/.*)|(ot_loss/.*)|(fpn_ot/.*)",
+    "5+": r"(backbone/c5.*)|(fpn/.*)|(rpn/.*)|(classifier/.*)|(mask/.*)|(dev/.*)|"
+          r"(ot_loss/.*)|(fpn_ot/.*)",
+    "all": r".*",
+}
+
+# COCO class names, background first (parity: /root/reference/lib/config.py:28-42)
+CLASS_NAMES = [
+    "BG", "person", "bicycle", "car", "motorcycle", "airplane",
+    "bus", "train", "truck", "boat", "traffic light",
+    "fire hydrant", "stop sign", "parking meter", "bench", "bird",
+    "cat", "dog", "horse", "sheep", "cow", "elephant", "bear",
+    "zebra", "giraffe", "backpack", "umbrella", "handbag", "tie",
+    "suitcase", "frisbee", "skis", "snowboard", "sports ball",
+    "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup",
+    "fork", "knife", "spoon", "bowl", "banana", "apple",
+    "sandwich", "orange", "broccoli", "carrot", "hot dog", "pizza",
+    "donut", "cake", "chair", "couch", "potted plant", "bed",
+    "dining table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell phone", "microwave", "oven", "toaster",
+    "sink", "refrigerator", "book", "clock", "vase", "scissors",
+    "teddy bear", "hair drier", "toothbrush",
+]
+
+
+def _default_tree() -> AttrDict:
+    """Build the default config tree (values mirror the reference defaults)."""
+    cfg = AttrDict()
+
+    cfg.MODEL = AttrDict(
+        PRETRAIN_IMAGENET_MODEL=os.path.join("datasets/pretrain_model", "resnet50_imagenet.npz"),
+        PRETRAIN_COCO_MODEL=os.path.join("datasets/pretrain_model", "mask_rcnn_coco.npz"),
+        INIT_FILE_CHOICE="last",   # 'last' | 'coco_pretrain' | 'imagenet_pretrain' | a file path
+        INIT_MODEL=None,
+        BACKBONE="resnet101",
+        BACKBONE_STRIDES=[],
+        BACKBONE_SHAPES=[],
+    )
+
+    cfg.DATASET = AttrDict(
+        NUM_CLASSES=81,
+        YEAR="2014",
+        PATH="datasets/coco",
+    )
+
+    cfg.RPN = AttrDict(
+        ANCHOR_SCALES=(32, 64, 128, 256, 512),
+        ANCHOR_RATIOS=[0.5, 1, 2],
+        ANCHOR_STRIDE=1,
+        NMS_THRESHOLD=0.7,
+        TRAIN_ANCHORS_PER_IMAGE=256,
+        PRE_NMS_LIMIT=6000,
+        POST_NMS_ROIS_TRAINING=2000,
+        POST_NMS_ROIS_INFERENCE=1000,
+        TARGET_POS_THRES=0.7,
+        TARGET_NEG_THRES=0.3,
+    )
+
+    cfg.MRCNN = AttrDict(
+        USE_MINI_MASK=True,
+        MINI_MASK_SHAPE=(56, 56),
+        POOL_SIZE=7,
+        MASK_POOL_SIZE=14,
+        MASK_SHAPE=[28, 28],
+    )
+
+    cfg.DATA = AttrDict(
+        IMAGE_MIN_DIM=800,
+        IMAGE_MAX_DIM=1024,
+        IMAGE_PADDING=True,
+        MEAN_PIXEL=np.array([123.7, 116.8, 103.9]),
+        MAX_GT_INSTANCES=100,
+        BBOX_STD_DEV=np.array([0.1, 0.1, 0.2, 0.2]),
+        IMAGE_SHAPE=[],
+        LOADER_WORKER_NUM=2,
+    )
+
+    cfg.ROIS = AttrDict(
+        TRAIN_ROIS_PER_IMAGE=200,
+        ROI_POSITIVE_RATIO=0.33,
+        ASSIGN_ANCHOR_BASE=224.0,
+        METHOD="roi_align",        # or 'roi_pool'
+    )
+
+    cfg.TEST = AttrDict(
+        BATCH_SIZE=0,              # derived: 2 * TRAIN.BATCH_SIZE
+        DET_MAX_INSTANCES=100,
+        DET_MIN_CONFIDENCE=0.0,
+        DET_NMS_THRESHOLD=0.3,
+        SAVE_IM=False,
+    )
+
+    cfg.TRAIN = AttrDict(
+        BATCH_SIZE=6,
+        OPTIM_METHOD="sgd",        # 'sgd' | 'adam' | 'rmsprop'
+        INIT_LR=0.01,
+        MOMENTUM=0.9,
+        WEIGHT_DECAY=0.0001,
+        GAMMA=0.1,
+        LR_POLICY="steps_with_decay",
+        END2END=False,
+        SCHEDULE=[6, 4, 3],        # epochs for stages heads / 4+ / all
+        LR_WARM_UP=False,
+        LR_WP_ITER=500,
+        LR_WP_FACTOR=1.0 / 3.0,
+        CLIP_GRAD=True,
+        MAX_GRAD_NORM=5.0,
+        BN_LEARN=False,
+        DO_VALIDATION=True,
+        SAVE_FREQ_WITHIN_EPOCH=10,
+        FORCE_START_EPOCH=0,
+        FPN_OT_LOSS=False,
+        FPN_OT_LOSS_FAC=1.0,
+    )
+
+    cfg.DEV = AttrDict(
+        SWITCH=False,
+        INIT_BUFFER_WEIGHT="scratch",
+        BUFFER_SIZE=1000,
+        EFFECT_AFER_EP_PERCENT=0.0,
+        MULTI_UPSAMPLER=False,
+        UPSAMPLE_FAC=2.0,
+        LOSS_CHOICE="l1",          # 'l1' | 'l2' | 'kl' | 'ot'
+        OT_ONE_DIM_FORM="conv",    # 'conv' | 'fc'   (when LOSS_CHOICE == 'ot')
+        LOSS_FAC=0.5,
+        INST_LOSS=False,
+        FEAT_BRANCH_POOL_SIZE=14,
+        DIS_REG_LOSS=False,
+        ASSIGN_BOX_ON_ALL_SCALE=False,
+        BASELINE=False,
+        BIG_SUPERVISE=False,
+        BIG_LOSS_CHOICE="ce",
+        BIG_FC_INIT="scratch",
+        BIG_LOSS_FAC=1.0,
+        BIG_FC_INIT_LIST={},
+        # The reference defaults to 'alpha' but only implements 'beta'
+        # (/root/reference/lib/sub_module.py:391, SURVEY.md §3.5); all working
+        # recipes set beta, so beta is the default here.
+        STRUCTURE="beta",
+        DIS_UPSAMPLER=False,
+        BIG_FEAT_DETACH=True,
+        CLS_MERGE_FEAT=False,
+        CLS_MERGE_MANNER="simple_add",  # or 'linear_add'
+        CLS_MERGE_FAC=0.5,
+    )
+
+    cfg.CTRL = AttrDict(
+        CONFIG_NAME="",
+        PHASE="",
+        DEBUG=None,
+        QUICK_VERIFY=False,
+        SHOW_INTERVAL=50,
+        PROFILE_ANALYSIS=False,
+    )
+
+    cfg.TSNE = AttrDict(
+        SKIP_INFERENCE=True,
+        A_FEW=False,
+        PERPLEXITY=30,
+        METRIC="euclidean",
+        N_TOPICS=2,
+        BATCH_SZ=1024,
+        TOTAL_EP=150,
+        ELLIPSE=True,
+        SAMPLE_CHOICE="set1",
+        FIG_FOLDER_SUX="debug5",
+    )
+
+    cfg.MISC = AttrDict(
+        SEED=2000,
+        USE_VISDOM=False,
+        VIS=AttrDict(PORT=-1),
+        LOG_FILE=None,
+        DET_RESULT_FILE=None,
+        SAVE_IMAGE_DIR=None,
+        RESULT_FOLDER=None,
+        DEVICE_ID=[0],
+        GPU_COUNT=1,               # kept for config parity; devices come from TPU.*
+    )
+
+    # ------------------------------------------------------------------
+    # TPU-native additions (no reference counterpart)
+    # ------------------------------------------------------------------
+    cfg.TPU = AttrDict(
+        # Device mesh: data-parallel axis size; -1 = use all local devices.
+        MESH_DATA=-1,
+        # Compute dtype for conv/matmul-heavy paths ('bfloat16' | 'float32').
+        COMPUTE_DTYPE="bfloat16",
+        # Params/state dtype.
+        PARAM_DTYPE="float32",
+        # Use the Pallas RoIAlign/NMS kernels (False = pure-XLA reference path).
+        USE_PALLAS=True,
+        # Static padded shapes (everything under jit must be fixed-shape).
+        MAX_PRE_NMS=6000,          # == RPN.PRE_NMS_LIMIT
+        # Rematerialization of the backbone during training.
+        REMAT_BACKBONE=True,
+    )
+
+    return cfg
+
+
+def _coerce(new: Any, old: Any, key: str) -> Any:
+    """Coerce ``new`` to the type of ``old`` with the reference's tolerance.
+
+    Mirrors _decode_cfg_value/_check_and_coerce_cfg_value_type
+    (/root/reference/tools/utils.py:188-246): strings are literal-eval'd when
+    possible; list/tuple and int/float mismatches are converted; numpy array
+    targets accept lists.
+    """
+    if isinstance(new, str):
+        try:
+            new = ast.literal_eval(new)
+        except (ValueError, SyntaxError):
+            pass
+    if old is None or isinstance(new, type(old)):
+        return new
+    if isinstance(old, np.ndarray):
+        return np.array(new, dtype=old.dtype)
+    if isinstance(old, tuple) and isinstance(new, list):
+        return tuple(new)
+    if isinstance(old, list) and isinstance(new, tuple):
+        return list(new)
+    if isinstance(old, bool) and isinstance(new, int):
+        return bool(new)
+    if isinstance(old, float) and isinstance(new, int):
+        return float(new)
+    if isinstance(old, int) and isinstance(new, float) and new == int(new):
+        return int(new)
+    if old is not None and new is None:
+        return None
+    raise TypeError(
+        f"Type mismatch for config key {key!r}: cannot coerce "
+        f"{type(new).__name__} -> {type(old).__name__}"
+    )
+
+
+class Config:
+    """The full configuration object.
+
+    Usage::
+
+        cfg = Config()
+        cfg.merge_from_file("configs/105/meta_105_quick_1.yaml")
+        cfg.merge_from_list(["TRAIN.BATCH_SIZE", "2", "DEV.SWITCH", "True"])
+        cfg.finalize()
+    """
+
+    def __init__(self) -> None:
+        self._tree = _default_tree()
+        self._finalized = False
+
+    # -- namespace access ------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        tree = object.__getattribute__(self, "_tree")
+        if name in tree:
+            return tree[name]
+        raise AttributeError(name)
+
+    def namespaces(self) -> List[str]:
+        return list(self._tree.keys())
+
+    # -- merging ---------------------------------------------------------
+    def merge_from_file(self, path: str) -> None:
+        with open(path) as f:
+            overlay = yaml.safe_load(f) or {}
+        self._merge_dict(overlay, self._tree, prefix="")
+
+    def merge_from_list(self, opts: Sequence[str]) -> None:
+        if len(opts) % 2 != 0:
+            raise ValueError(f"Override list must have even length, got {len(opts)}")
+        for full_key, value in zip(opts[0::2], opts[1::2]):
+            parts = full_key.split(".")
+            node = self._tree
+            for part in parts[:-1]:
+                if part not in node:
+                    raise KeyError(f"Unknown config namespace {part!r} in {full_key!r}")
+                node = node[part]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"Unknown config key {full_key!r}")
+            node[leaf] = _coerce(value, node[leaf], full_key)
+
+    def _merge_dict(self, overlay: dict, node: AttrDict, prefix: str) -> None:
+        for key, value in overlay.items():
+            full_key = f"{prefix}{key}"
+            if key not in node:
+                raise KeyError(f"Unknown config key {full_key!r} in YAML overlay")
+            if isinstance(value, dict) and isinstance(node[key], AttrDict):
+                self._merge_dict(value, node[key], prefix=f"{full_key}.")
+            else:
+                node[key] = _coerce(value, node[key], full_key)
+
+    # -- derived values --------------------------------------------------
+    def finalize(self, make_dirs: bool = False) -> "Config":
+        """Compute derived values (parity: lib/config.py:290-376 _set_value)."""
+        c = self._tree
+
+        if c.CTRL.QUICK_VERIFY:
+            c.CTRL.SHOW_INTERVAL = 5
+            c.TRAIN.SAVE_FREQ_WITHIN_EPOCH = 2
+        if c.CTRL.DEBUG:
+            c.CTRL.SHOW_INTERVAL = 1
+            c.DATA.IMAGE_MIN_DIM = 320
+            c.DATA.IMAGE_MAX_DIM = 512
+            c.CTRL.PROFILE_ANALYSIS = False
+            c.TSNE.A_FEW = True
+
+        c.MISC.RESULT_FOLDER = os.path.join(
+            "results", (c.CTRL.CONFIG_NAME or "default").lower(), c.CTRL.PHASE or "train"
+        )
+        if make_dirs:
+            os.makedirs(c.MISC.RESULT_FOLDER, exist_ok=True)
+
+        c.TEST.BATCH_SIZE = 2 * c.TRAIN.BATCH_SIZE
+
+        if c.MODEL.BACKBONE in ("resnet50", "resnet101"):
+            c.MODEL.BACKBONE_STRIDES = [4, 8, 16, 32, 64]
+        else:
+            raise ValueError(f"unknown backbone {c.MODEL.BACKBONE!r}")
+
+        c.DATA.IMAGE_SHAPE = np.array([c.DATA.IMAGE_MAX_DIM, c.DATA.IMAGE_MAX_DIM, 3])
+        c.MODEL.BACKBONE_SHAPES = np.array(
+            [
+                [int(math.ceil(c.DATA.IMAGE_SHAPE[0] / s)),
+                 int(math.ceil(c.DATA.IMAGE_SHAPE[1] / s))]
+                for s in c.MODEL.BACKBONE_STRIDES
+            ]
+        )
+
+        if c.DEV.BIG_FC_INIT == "coco_pretrain":
+            c.DEV.BIG_FC_INIT_LIST = {
+                "dev/big_fc/kernel": "classifier/linear_class/kernel",
+                "dev/big_fc/bias": "classifier/linear_class/bias",
+            }
+
+        c.TPU.MAX_PRE_NMS = int(c.RPN.PRE_NMS_LIMIT)
+        self._finalized = True
+        return self
+
+    # -- misc ------------------------------------------------------------
+    def display(self, log_fn=print) -> None:
+        for ns in self.namespaces():
+            log_fn(f"{ns}:")
+            for key, value in self._tree[ns].items():
+                log_fn(f"\t{key:30}\t\t{value}")
+
+    def to_dict(self) -> dict:
+        def conv(node):
+            if isinstance(node, AttrDict):
+                return {k: conv(v) for k, v in node.items()}
+            if isinstance(node, np.ndarray):
+                return node.tolist()
+            return node
+        return conv(self._tree)
+
+
+def build_config(
+    config_name: str = "default",
+    phase: str = "train",
+    config_file: Optional[str] = None,
+    opts: Optional[Sequence[str]] = None,
+    debug: Optional[bool] = None,
+    make_dirs: bool = False,
+) -> Config:
+    """Build + finalize a config the way main.py does (CLI parity)."""
+    cfg = Config()
+    cfg.CTRL.CONFIG_NAME = config_name
+    cfg.CTRL.PHASE = phase
+    cfg.CTRL.DEBUG = debug
+    if config_file is not None:
+        cfg.CTRL.CONFIG_NAME = os.path.basename(config_file).replace(".yaml", "")
+        cfg.merge_from_file(config_file)
+    if opts:
+        cfg.merge_from_list(list(opts))
+    return cfg.finalize(make_dirs=make_dirs)
