@@ -1,0 +1,366 @@
+"""RoIAlign (TF ``crop_and_resize`` semantics) for TPU.
+
+Replaces the reference's C/CUDA extension
+(``/root/reference/lib/roi_align/src/crop_and_resize.c:28-110``,
+``crop_and_resize_kernel.cu:17-82``) with three TPU-native implementations:
+
+1. :func:`crop_and_resize` — pure-XLA 4-corner bilinear gather. Exact
+   reference semantics (parity gate ≤1e-5, see tests/test_roi_align.py):
+   sample grid ``in_y = y1·(H−1) + i·(y2−y1)·(H−1)/(crop−1)`` (center sample
+   ``0.5·(y1+y2)·(H−1)`` when crop==1), ``top=floor``, ``bottom=ceil``,
+   ``extrapolation_value`` outside ``[0, dim−1]``. Differentiable (autodiff
+   yields the deterministic scatter-add the CUDA backward implements with
+   ``atomicAdd`` — no atomics needed on TPU).
+
+2. :func:`multilevel_crop_and_resize` — the FPN path. The reference loops
+   over pyramid levels with dynamic per-level box subsets
+   (``pyramid_roi_align``, /root/reference/lib/layers.py:145-218). Dynamic
+   shapes don't jit, and pooling every box at every level wastes 4× the
+   work — so all levels are flattened into one ``[B, ΣH_l·W_l, C]`` buffer
+   and each box gathers through its assigned level's offset: one gather,
+   static shapes, zero waste.
+
+3. :func:`crop_and_resize_pallas` — Pallas kernel holding a channel-tile of
+   the feature map resident in VMEM; boxes are streamed through SMEM and
+   interpolation runs as small MXU matmuls. Sequential full-map DMA instead
+   of random-access gather; wins when boxes×crop² is large relative to the
+   map. Forward-parity-tested against (1); backward via custom_vjp → (1).
+
+Layout is NHWC (TPU-native; the reference is NCHW).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Sampling-grid math (shared by all implementations)
+# ---------------------------------------------------------------------------
+def _sample_positions(c0: jax.Array, c1: jax.Array, crop: int, dim) -> jax.Array:
+    """Sample positions along one axis.
+
+    c0/c1: [...] normalized start/end coords; dim: image extent (scalar or
+    broadcastable array for the multilevel path). Returns [..., crop] float.
+    """
+    dim = jnp.asarray(dim, jnp.float32)
+    if crop > 1:
+        step = (c1 - c0) * (dim - 1.0) / (crop - 1)
+        i = jnp.arange(crop, dtype=jnp.float32)
+        return c0[..., None] * (dim[..., None] - 1.0) + i * step[..., None]
+    return (0.5 * (c0 + c1) * (dim - 1.0))[..., None]
+
+
+def _corner_weights(pos: jax.Array, dim) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """floor/ceil indices + lerp + validity for sample positions."""
+    dim = jnp.asarray(dim, jnp.float32)
+    valid = (pos >= 0.0) & (pos <= dim[..., None] - 1.0)
+    lo = jnp.floor(pos)
+    hi = jnp.ceil(pos)
+    lerp = pos - lo
+    max_idx = (dim[..., None] - 1.0).astype(jnp.int32)
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, max_idx)
+    hi_i = jnp.clip(hi.astype(jnp.int32), 0, max_idx)
+    return lo_i, hi_i, lerp, valid
+
+
+# ---------------------------------------------------------------------------
+# 1. Pure-XLA reference implementation
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("crop_size", "extrapolation_value"))
+def crop_and_resize(
+    image: jax.Array,
+    boxes: jax.Array,
+    box_indices: jax.Array,
+    crop_size: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jax.Array:
+    """TF crop_and_resize. image [B,H,W,C]; boxes [N,4] normalized
+    (y1,x1,y2,x2); box_indices [N] int; returns [N, ch, cw, C]."""
+    b, h, w, c = image.shape
+    ch, cw = crop_size
+    y1, x1, y2, x2 = [boxes[:, i] for i in range(4)]
+
+    pos_y = _sample_positions(y1, y2, ch, float(h))            # [N, ch]
+    pos_x = _sample_positions(x1, x2, cw, float(w))            # [N, cw]
+    ty, by, ly, vy = _corner_weights(pos_y, float(h))
+    lx_i, rx_i, lx, vx = _corner_weights(pos_x, float(w))
+
+    flat = image.reshape(b * h * w, c)
+    base = box_indices.astype(jnp.int32) * (h * w)             # [N]
+
+    def gather(yi, xi):
+        idx = base[:, None, None] + yi[:, :, None] * w + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(-1, ch, cw, c)
+
+    tl = gather(ty, lx_i)
+    tr = gather(ty, rx_i)
+    bl = gather(by, lx_i)
+    br = gather(by, rx_i)
+
+    lxb = lx[:, None, :, None]
+    lyb = ly[:, :, None, None]
+    top = tl + (tr - tl) * lxb
+    bot = bl + (br - bl) * lxb
+    out = top + (bot - top) * lyb
+
+    invalid = ~(vy[:, :, None] & vx[:, None, :])
+    return jnp.where(invalid[..., None], extrapolation_value, out)
+
+
+# ---------------------------------------------------------------------------
+# 2. Fused multilevel (FPN) gather
+# ---------------------------------------------------------------------------
+def assign_fpn_level(
+    boxes: jax.Array,
+    image_shape: Tuple[int, int],
+    base: float = 224.0,
+    k0: int = 4,
+    lo: int = 2,
+    hi: int = 5,
+) -> jax.Array:
+    """FPN eqn-1 level assignment on normalized boxes.
+
+    Parity with pyramid_roi_align's ``roi_level`` (lib/layers.py:175-181):
+    ``round(k0 + log2(sqrt(h·w) / (base / sqrt(H·W))))`` clamped to [lo, hi].
+    Returns int32 [...] levels.
+    """
+    h = boxes[..., 2] - boxes[..., 0]
+    w = boxes[..., 3] - boxes[..., 1]
+    image_area = float(image_shape[0]) * float(image_shape[1])
+    scale = jnp.sqrt(jnp.maximum(h * w, 1e-12)) / (base / jnp.sqrt(image_area))
+    lvl = k0 + jnp.log2(scale)
+    return jnp.clip(jnp.round(lvl).astype(jnp.int32), lo, hi)
+
+
+def flatten_pyramid(features: Sequence[jax.Array]) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Concat per-level [B,H,W,C] maps into [B, ΣHW, C] + per-level tables."""
+    b = features[0].shape[0]
+    c = features[0].shape[-1]
+    heights = jnp.array([f.shape[1] for f in features], jnp.int32)
+    widths = jnp.array([f.shape[2] for f in features], jnp.int32)
+    sizes = [f.shape[1] * f.shape[2] for f in features]
+    offsets = jnp.array([sum(sizes[:i]) for i in range(len(sizes))], jnp.int32)
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
+    return flat, heights, widths, offsets
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "extrapolation_value"))
+def _multilevel_gather(
+    flat: jax.Array,
+    heights: jax.Array,
+    widths: jax.Array,
+    offsets: jax.Array,
+    boxes: jax.Array,
+    box_indices: jax.Array,
+    level_idx: jax.Array,
+    crop_size: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+) -> jax.Array:
+    """Gather crops where each box reads from its own pyramid level."""
+    b, total, c = flat.shape
+    ch, cw = crop_size
+    hs = heights[level_idx].astype(jnp.float32)                # [N]
+    ws = widths[level_idx].astype(jnp.float32)
+    off = offsets[level_idx]                                   # [N]
+
+    y1, x1, y2, x2 = [boxes[:, i] for i in range(4)]
+    pos_y = _sample_positions(y1, y2, ch, hs)
+    pos_x = _sample_positions(x1, x2, cw, ws)
+    ty, by, ly, vy = _corner_weights(pos_y, hs)
+    lx_i, rx_i, lx, vx = _corner_weights(pos_x, ws)
+
+    flat2 = flat.reshape(b * total, c)
+    base = box_indices.astype(jnp.int32) * total + off          # [N]
+    wi = ws.astype(jnp.int32)
+
+    def gather(yi, xi):
+        idx = base[:, None, None] + yi[:, :, None] * wi[:, None, None] + xi[:, None, :]
+        return jnp.take(flat2, idx.reshape(-1), axis=0).reshape(-1, ch, cw, c)
+
+    tl = gather(ty, lx_i)
+    tr = gather(ty, rx_i)
+    bl = gather(by, lx_i)
+    br = gather(by, rx_i)
+    lxb = lx[:, None, :, None]
+    lyb = ly[:, :, None, None]
+    out = (tl + (tr - tl) * lxb) + ((bl + (br - bl) * lxb) - (tl + (tr - tl) * lxb)) * lyb
+    invalid = ~(vy[:, :, None] & vx[:, None, :])
+    return jnp.where(invalid[..., None], extrapolation_value, out)
+
+
+def multilevel_crop_and_resize(
+    features: Sequence[jax.Array],
+    boxes: jax.Array,
+    box_indices: jax.Array,
+    crop_size: Tuple[int, int],
+    image_shape: Tuple[int, int],
+    assign_base: float = 224.0,
+    level_idx: jax.Array = None,
+) -> jax.Array:
+    """FPN RoIAlign: boxes [N,4] normalized, features = [P2..P5] NHWC.
+
+    ``level_idx`` (0-based into ``features``) may be precomputed; otherwise
+    the FPN eqn-1 assignment is used. Returns [N, ch, cw, C].
+    """
+    if level_idx is None:
+        level_idx = assign_fpn_level(boxes, image_shape, base=assign_base) - 2
+    flat, heights, widths, offsets = flatten_pyramid(features)
+    return _multilevel_gather(
+        flat, heights, widths, offsets, boxes, box_indices, level_idx, crop_size
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Pallas kernel (single level, NHWC, channel-tiled VMEM-resident map)
+# ---------------------------------------------------------------------------
+def _roi_align_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w, extrap):
+    """One grid step: all boxes of one (batch, channel-tile, box-tile).
+
+    boxes_ref: SMEM [1, BT, 4] normalized (y1,x1,y2,x2)
+    image_ref: VMEM [1, H, W, CT]
+    out_ref:   VMEM [1, BT, crop_h, crop_w, CT]
+    """
+    _, h, w, ct = image_ref.shape
+    bt = boxes_ref.shape[1]
+    h_f, w_f = float(h), float(w)
+
+    col_ids = lax.broadcasted_iota(jnp.int32, (crop_w, w), dimension=1)
+
+    def per_box(i, _):
+        y1 = boxes_ref[0, i, 0]
+        x1 = boxes_ref[0, i, 1]
+        y2 = boxes_ref[0, i, 2]
+        x2 = boxes_ref[0, i, 3]
+
+        # x-interpolation matrix [crop_w, W]: two taps per row, zeroed when
+        # the sample falls outside the image (extrapolation).
+        if crop_w > 1:
+            step_x = (x2 - x1) * (w_f - 1.0) / (crop_w - 1)
+            pos_x = x1 * (w_f - 1.0) + jnp.arange(crop_w, dtype=jnp.float32) * step_x
+        else:
+            pos_x = jnp.full((1,), 0.5 * (x1 + x2) * (w_f - 1.0))
+        vx = (pos_x >= 0.0) & (pos_x <= w_f - 1.0)
+        lxf = jnp.floor(pos_x)
+        lx = pos_x - lxf
+        li = jnp.clip(lxf.astype(jnp.int32), 0, w - 1)
+        ri = jnp.clip(jnp.ceil(pos_x).astype(jnp.int32), 0, w - 1)
+        xmat = (
+            (col_ids == li[:, None]).astype(jnp.float32) * (1.0 - lx[:, None])
+            + (col_ids == ri[:, None]).astype(jnp.float32) * lx[:, None]
+        )
+        # When left==right (integer sample) both comparisons hit the same
+        # column; (1-lx)+lx = 1 with lx==0 — weights stay exact.
+        xmat = jnp.where(vx[:, None], xmat, 0.0)
+
+        if crop_h > 1:
+            step_y = (y2 - y1) * (h_f - 1.0) / (crop_h - 1)
+        else:
+            step_y = 0.0
+
+        def per_row(j, _):
+            if crop_h > 1:
+                pos_y = y1 * (h_f - 1.0) + j.astype(jnp.float32) * step_y
+            else:
+                pos_y = 0.5 * (y1 + y2) * (h_f - 1.0)
+            vy = (pos_y >= 0.0) & (pos_y <= h_f - 1.0)
+            tyf = jnp.floor(pos_y)
+            ly = pos_y - tyf
+            ti = jnp.clip(tyf.astype(jnp.int32), 0, h - 1)
+            bi = jnp.clip(jnp.ceil(pos_y).astype(jnp.int32), 0, h - 1)
+            row_t = image_ref[0, ti, :, :]          # [W, CT]
+            row_b = image_ref[0, bi, :, :]
+            row = row_t + (row_b - row_t) * ly      # [W, CT]
+            vals = jnp.dot(xmat, row, preferred_element_type=jnp.float32)
+            vals = jnp.where(vy, vals, extrap)      # whole sample row invalid
+            # re-apply x extrapolation (xmat zeroed gives 0, not extrap)
+            if extrap != 0.0:
+                vals = jnp.where(vx[:, None], vals, extrap)
+            out_ref[0, i, j, :, :] = vals
+            return 0
+
+        lax.fori_loop(0, crop_h, per_row, 0, unroll=True)
+        return 0
+
+    lax.fori_loop(0, bt, per_box, 0)
+
+
+def crop_and_resize_pallas(
+    image: jax.Array,
+    boxes: jax.Array,
+    crop_size: Tuple[int, int],
+    extrapolation_value: float = 0.0,
+    box_tile: int = 64,
+    channel_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas RoIAlign. image [B,H,W,C]; boxes [B,NB,4] (grouped per image —
+    the box_indices of the generic API become the leading batch dim).
+
+    Returns [B, NB, ch, cw, C]. Forward only — wrap via
+    :func:`crop_and_resize_fused` for autodiff.
+    """
+    b, h, w, c = image.shape
+    _, nb, _ = boxes.shape
+    ch, cw = crop_size
+    ct = min(channel_tile, c)
+    bt = min(box_tile, nb)
+    assert c % ct == 0 and nb % bt == 0, (c, ct, nb, bt)
+
+    kernel = functools.partial(
+        _roi_align_kernel, crop_h=ch, crop_w=cw, extrap=extrapolation_value
+    )
+    grid = (b, c // ct, nb // bt)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, 4), lambda bi, ci, ni: (bi, ni, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, ct), lambda bi, ci, ni: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bt, ch, cw, ct), lambda bi, ci, ni: (bi, ni, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nb, ch, cw, c), image.dtype),
+        interpret=interpret,
+    )(boxes.reshape(b, nb, 4), image)
+
+
+# Differentiable wrapper: Pallas forward, XLA-gather backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def crop_and_resize_fused(image, boxes, crop_size, extrapolation_value=0.0):
+    return crop_and_resize_pallas(image, boxes, crop_size, extrapolation_value)
+
+
+def _fused_fwd(image, boxes, crop_size, extrapolation_value):
+    out = crop_and_resize_pallas(image, boxes, crop_size, extrapolation_value)
+    return out, (image, boxes)
+
+
+def _fused_bwd(crop_size, extrapolation_value, res, g):
+    image, boxes = res
+    b, nb, _ = boxes.shape
+
+    def ref_fn(img):
+        idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
+        flat_boxes = boxes.reshape(b * nb, 4)
+        return crop_and_resize(img, flat_boxes, idx, crop_size,
+                               extrapolation_value).reshape(b, nb, *g.shape[2:])
+
+    _, vjp = jax.vjp(ref_fn, image)
+    (d_image,) = vjp(g)
+    return d_image, jnp.zeros_like(boxes)  # boxes treated as non-diff (parity:
+    # the reference's CropAndResizeFunction never backprops into box coords).
+
+
+crop_and_resize_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,66 @@
+"""RoIPool parity vs a numpy oracle of the CUDA kernel semantics
+(roi_pooling_kernel.cu:24-93)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.ops.roi_pool import make_roi_pool_input, roi_pool
+
+
+def np_roi_pool(features, rois, scale, pooled):
+    b, h, w, c = features.shape
+    n = len(rois)
+    out = np.zeros((n, pooled, pooled, c), np.float32)
+    for k in range(n):
+        bi = int(rois[k, 0])
+        sw = int(round(rois[k, 1] * scale))
+        sh = int(round(rois[k, 2] * scale))
+        ew = int(round(rois[k, 3] * scale))
+        eh = int(round(rois[k, 4] * scale))
+        rw = max(ew - sw + 1, 1)
+        rh = max(eh - sh + 1, 1)
+        # exact rational bin edges (matches ops/roi_pool.py integer math)
+        for ph in range(pooled):
+            for pw in range(pooled):
+                hs = min(max(ph * rh // pooled + sh, 0), h)
+                he = min(max(-((-(ph + 1) * rh) // pooled) + sh, 0), h)
+                ws = min(max(pw * rw // pooled + sw, 0), w)
+                we = min(max(-((-(pw + 1) * rw) // pooled) + sw, 0), w)
+                if he <= hs or we <= ws:
+                    continue
+                out[k, ph, pw] = features[bi, hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
+@pytest.mark.parametrize("pooled,scale", [(7, 0.25), (2, 0.5)])
+def test_roi_pool_matches_oracle(rng, pooled, scale):
+    b, h, w, c = 2, 32, 32, 4
+    features = rng.randn(b, h, w, c).astype(np.float32)
+    n = 12
+    x1 = rng.uniform(0, 80, n)
+    y1 = rng.uniform(0, 80, n)
+    rois = np.stack([
+        rng.randint(0, b, n).astype(np.float32),
+        x1, y1,
+        x1 + rng.uniform(4, 100, n),
+        y1 + rng.uniform(4, 100, n),
+    ], 1).astype(np.float32)
+    got = np.asarray(roi_pool(jnp.array(features), jnp.array(rois),
+                              scale, (pooled, pooled), window_cap=8))
+    want = np_roi_pool(features, rois, scale, pooled)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_roi_pool_malformed_roi_forced_1x1(rng):
+    features = rng.randn(1, 16, 16, 2).astype(np.float32)
+    rois = np.array([[0, 40, 40, 20, 20]], np.float32)  # x2<x1, y2<y1
+    got = np.asarray(roi_pool(jnp.array(features), jnp.array(rois), 0.25, (3, 3)))
+    want = np_roi_pool(features, rois, 0.25, 3)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_make_roi_pool_input():
+    boxes = jnp.array([[0.1, 0.2, 0.5, 0.6]])
+    out = np.asarray(make_roi_pool_input(boxes, jnp.array([3]), 1024.0))
+    np.testing.assert_allclose(out, [[3, 204.8, 102.4, 614.4, 512.0]], rtol=1e-6)
