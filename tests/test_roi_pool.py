@@ -33,8 +33,8 @@ def np_roi_pool(features, rois, scale, pooled):
     return out
 
 
-@pytest.mark.parametrize("pooled,scale", [(7, 0.25), (2, 0.5)])
-def test_roi_pool_matches_oracle(rng, pooled, scale):
+@pytest.mark.parametrize("pooled,scale,cap", [(7, 0.25, 16), (2, 0.5, 32)])
+def test_roi_pool_matches_oracle(rng, pooled, scale, cap):
     b, h, w, c = 2, 32, 32, 4
     features = rng.randn(b, h, w, c).astype(np.float32)
     n = 12
@@ -47,7 +47,7 @@ def test_roi_pool_matches_oracle(rng, pooled, scale):
         y1 + rng.uniform(4, 100, n),
     ], 1).astype(np.float32)
     got = np.asarray(roi_pool(jnp.array(features), jnp.array(rois),
-                              scale, (pooled, pooled), window_cap=8))
+                              scale, (pooled, pooled), window_cap=cap))
     want = np_roi_pool(features, rois, scale, pooled)
     np.testing.assert_allclose(got, want, atol=1e-6)
 
