@@ -1,0 +1,342 @@
+"""Dev — the Feature Intertwiner RoI stage, redesigned for static shapes.
+
+Capability parity with ``Dev`` (``/root/reference/lib/sub_module.py:286-692``,
+``structure='beta'`` — the only structure the reference implements; 'alpha' is
+unreachable/crashes there, SURVEY.md §3.5 #2, and raises here).
+
+The reference loops over pyramid levels with dynamic per-level RoI subsets and
+a per-class Python aggregation loop (:429-617, :664-684). TPU-first redesign:
+
+- level assignment is *data* ([B·R] int32), not control flow;
+- pooling is one fused multilevel gather (ops/roi_align.py) over the
+  **upsampled** ("make-up layer") maps for the small path — every RoI is
+  "small" at exactly its assigned level;
+- the reliable ("big") sets are per-meta-level masks over the same RoI array;
+  big features pool from the *non-upsampled* level map (sub_module.py:498-507)
+  with one single-level crop per meta level;
+- per-class mean aggregation (``_assign_feat2cls``) becomes a one-hot matmul
+  (``vecsᵀ @ onehot``) — an MXU contraction instead of a class loop;
+- small 1024-d outputs are returned **aligned to RoI order** (the reference
+  packs them in level-processing order, which misaligns the CLS_MERGE_FEAT
+  addition in the classifier — see models/heads.py docstring).
+
+Reference behavioral details preserved:
+- meta levels are {2,3,4} (``_use_meta``, :434-437); level-5 RoIs contribute
+  no small stats and keep zero small vectors;
+- big sets per level l: l=2→{3,4,5}, l=3→{4,5}, l=4→{5} (``_find_big_box2``);
+- big stats at a level are zeroed when that level has no small RoIs
+  (:456-467 ``continue`` skips big processing too);
+- ``BIG_FEAT_DETACH`` stops gradients into the reliable set;
+- ``DEV.BASELINE`` runs the upsampler but no critic/stats;
+- ``ASSIGN_BOX_ON_ALL_SCALE`` assigns by area vs. the RoI-output footprint
+  per level (:440-454), with the big-only remainder merged into the last
+  level at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.roi_align import (
+    assign_fpn_level,
+    crop_and_resize,
+    multilevel_crop_and_resize,
+)
+from ..ops.roi_pool import make_roi_pool_input, roi_pool
+from .common import BN, conv, dense
+
+META_LEVELS = (2, 3, 4)
+
+
+def class_mean(
+    vecs: jax.Array, gts: jax.Array, mask: jax.Array, num_classes: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-class masked mean — the reference's ``_assign_feat2cls``
+    (sub_module.py:664-684) as one MXU contraction.
+
+    vecs [N, D], gts [N] int, mask [N] bool -> (feat [D, K], cnt [1, K]);
+    background (class 0) excluded; absent classes give zero columns.
+    """
+    onehot = jax.nn.one_hot(gts, num_classes, dtype=vecs.dtype)
+    onehot = onehot * mask.astype(vecs.dtype)[:, None]
+    onehot = onehot.at[:, 0].set(0.0)
+    cnt = jnp.sum(onehot, axis=0)                          # [K]
+    sums = vecs.T @ onehot                                 # [D, K]
+    feat = jnp.where(cnt[None, :] > 0, sums / jnp.maximum(cnt, 1.0)[None, :], 0.0)
+    return feat, cnt[None, :]
+
+
+class UpsampleBlock(nn.Module):
+    """The "make-up layer" (sub_module.py:309-327): conv (fac 1) or 2×
+    ConvTranspose (fac 2), + BN + ReLU."""
+
+    channels: int
+    factor: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train_bn: bool = False):
+        if self.factor == 1.0:
+            y = conv(self.channels, 3, name="conv", dtype=self.dtype)(x)
+        elif self.factor == 2.0:
+            y = nn.ConvTranspose(
+                self.channels, (3, 3), strides=(2, 2), padding="SAME",
+                name="deconv", dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_normal(),
+            )(x)
+        else:
+            raise ValueError(f"UPSAMPLE_FAC must be 1 or 2, got {self.factor}")
+        y = BN(dtype=self.dtype, name="bn")(y, train_bn)
+        return nn.relu(y)
+
+
+class Critic(nn.Module):
+    """feat_extract (sub_module.py:330-345): 3 convs to a 1024-d vector."""
+
+    feat_pool_size: int = 14
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled, train_bn: bool = False) -> jax.Array:
+        """pooled [N, fp, fp, C] -> [N, 1024] (pre-last_op)."""
+        k = self.feat_pool_size // 2
+        x = conv(512, 3, strides=2, name="conv1", dtype=self.dtype)(pooled)
+        x = BN(dtype=self.dtype, name="bn1")(x, train_bn)
+        x = nn.relu(x)
+        x = conv(1024, k, padding="VALID", name="conv2", dtype=self.dtype)(x)
+        x = BN(dtype=self.dtype, name="bn2")(x, train_bn)
+        x = nn.relu(x)
+        x = conv(1024, 1, padding="VALID", name="conv3", dtype=self.dtype)(x)
+        x = BN(dtype=self.dtype, name="bn3")(x, train_bn)
+        x = nn.relu(x)
+        return x.reshape(x.shape[0], 1024)
+
+
+class Dev(nn.Module):
+    """The intertwiner RoI stage. See module docstring."""
+
+    num_classes: int = 81
+    pool_size: int = 7
+    mask_pool_size: int = 14
+    feat_pool_size: int = 14
+    image_size: int = 1024
+    assign_base: float = 224.0
+    use_dev: bool = True
+    structure: str = "beta"
+    roi_method: str = "roi_align"
+    upsample_fac: float = 2.0
+    multi_upsampler: bool = False
+    dis_upsampler: bool = False
+    loss_choice: str = "l1"
+    baseline: bool = False
+    big_supervise: bool = False
+    big_feat_detach: bool = True
+    assign_all_scale: bool = False
+    dtype: Any = jnp.float32
+
+    def _last_op(self, x: jax.Array) -> jax.Array:
+        if self.loss_choice in ("l1", "l2"):
+            return nn.sigmoid(x)
+        if self.loss_choice == "kl":
+            return jax.nn.softmax(x, axis=1)
+        return x  # 'ot': no last op (sub_module.py:347-350)
+
+    def _assign_levels(self, flat_rois: jax.Array, widths: Sequence[int]):
+        """Returns (level [N] in 2..6, meta_levels). Level 6 = big-on-all
+        (only possible with ASSIGN_BOX_ON_ALL_SCALE)."""
+        if not self.assign_all_scale:
+            lvl = assign_fpn_level(
+                flat_rois, (self.image_size, self.image_size), base=self.assign_base
+            )
+            return lvl, META_LEVELS
+        h = flat_rois[:, 2] - flat_rois[:, 0]
+        w = flat_rois[:, 3] - flat_rois[:, 1]
+        area = h * w
+        lvl = jnp.full(flat_rois.shape[:1], 6, jnp.int32)
+        for i, width in reversed(list(enumerate(widths))):
+            thres = (self.feat_pool_size / width) ** 2
+            lvl = jnp.where(area <= thres, i + 2, lvl)
+        return lvl, (2, 3, 4, 5)
+
+    @staticmethod
+    def _big_mask(level_id: int, lvl: jax.Array, all_scale: bool) -> jax.Array:
+        """_find_big_box2 (sub_module.py:366-378) as a data mask."""
+        if all_scale:
+            return lvl > level_id
+        if level_id == 2:
+            return (lvl >= 3) & (lvl <= 5)
+        if level_id == 3:
+            return (lvl >= 4) & (lvl <= 5)
+        if level_id == 4:
+            return lvl == 5
+        return jnp.zeros_like(lvl, dtype=bool)
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: List[jax.Array],
+        rois: jax.Array,
+        roi_gt: Optional[jax.Array] = None,
+        train: bool = False,
+        train_bn: bool = False,
+    ):
+        """feats: [P2..P5] NHWC; rois [B, R, 4] normalized; roi_gt [B, R] int.
+
+        Returns (pooled_cls [B·R,P,P,C], pooled_mask [B·R,M,M,C], feat_out):
+        train: feat_out = dict(big_feat [S,1024,K], big_cnt [S,1,K],
+        small_feat, small_cnt, big_loss [S], small_out [B·R,1024],
+        small_gt [B·R]); inference: dict(small_out, small_gt); None when
+        the intertwiner is off.
+        """
+        if self.use_dev and self.structure != "beta":
+            raise NotImplementedError(
+                "Only structure='beta' exists (the reference's 'alpha' branch "
+                "is unimplemented and crashes there too — lib/model.py:424-425)"
+            )
+        b, r, _ = rois.shape
+        flat_rois = rois.reshape(-1, 4)
+        box_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+        image_shape = (self.image_size, self.image_size)
+
+        if not self.use_dev:
+            pooled_cls = multilevel_crop_and_resize(
+                feats, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
+                assign_base=self.assign_base)
+            pooled_mask = multilevel_crop_and_resize(
+                feats, flat_rois, box_idx, (self.mask_pool_size,) * 2,
+                image_shape, assign_base=self.assign_base)
+            return pooled_cls, pooled_mask, None
+
+        lvl, meta_levels = self._assign_levels(
+            flat_rois, [f.shape[2] for f in feats])
+
+        # --- make-up layers --------------------------------------------------
+        if self.dis_upsampler:
+            ups = list(feats)
+        elif self.multi_upsampler:
+            ups = [
+                UpsampleBlock(feats[i].shape[-1], self.upsample_fac,
+                              name=f"upsample{i}", dtype=self.dtype)(feats[i], train_bn)
+                for i in range(4)
+            ]
+        else:
+            shared = UpsampleBlock(feats[0].shape[-1], self.upsample_fac,
+                                   name="upsample0", dtype=self.dtype)
+            ups = [shared(f, train_bn) for f in feats]
+
+        # --- pooled features for the heads (small path, upsampled maps) -----
+        level_idx = jnp.clip(lvl, 2, 5) - 2
+        if self.roi_method == "roi_align":
+            pooled_cls = multilevel_crop_and_resize(
+                ups, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
+                level_idx=level_idx)
+            pooled_mask = multilevel_crop_and_resize(
+                ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
+                image_shape, level_idx=level_idx)
+        elif self.roi_method == "roi_pool":
+            pooled_cls = self._roi_pool_multilevel(
+                ups, flat_rois, box_idx, level_idx, self.pool_size)
+            pooled_mask = self._roi_pool_multilevel(
+                ups, flat_rois, box_idx, level_idx, self.mask_pool_size)
+        else:
+            raise ValueError(self.roi_method)
+
+        if self.assign_all_scale and train:
+            # big-only RoIs (lvl==6) get no small pooled features in training
+            gate = (lvl <= 5)[:, None, None, None].astype(pooled_cls.dtype)
+            pooled_cls = pooled_cls * gate
+            pooled_mask = pooled_mask * gate
+
+        if self.baseline:
+            return pooled_cls, pooled_mask, None
+
+        # --- critic on the shared 14² pooling (small path) -------------------
+        critic = Critic(self.feat_pool_size, dtype=self.dtype, name="critic")
+        small_raw = critic(pooled_mask, train_bn).astype(jnp.float32)  # [BR,1024]
+        small_act = self._last_op(small_raw)
+
+        meta_mask = jnp.zeros_like(lvl, dtype=bool)
+        for l in meta_levels:
+            meta_mask = meta_mask | (lvl == l)
+        small_out = jnp.where(meta_mask[:, None], small_act, 0.0)
+
+        train_phase = roi_gt is not None
+        if not train_phase:
+            small_gt = meta_mask.astype(jnp.float32)
+            return pooled_cls, pooled_mask, {
+                "small_out": small_out, "small_gt": small_gt}
+
+        flat_gt = roi_gt.reshape(-1).astype(jnp.int32)
+        small_gt = jnp.where(meta_mask, flat_gt, 0).astype(jnp.float32)
+
+        big_fc = (dense(self.num_classes, name="big_fc", dtype=self.dtype)
+                  if self.big_supervise else None)
+
+        small_feats, small_cnts, big_feats, big_cnts, big_losses = [], [], [], [], []
+        for level_id in meta_levels:
+            s_mask = lvl == level_id
+            sf, sc = class_mean(small_act, flat_gt, s_mask, self.num_classes)
+            small_feats.append(sf)
+            small_cnts.append(sc)
+
+            # Reliable set: pool *all* RoIs from this level's raw map once,
+            # aggregate under the big mask. (sub_module.py:489-518)
+            b_mask = self._big_mask(level_id, lvl, self.assign_all_scale)
+            level_map = feats[level_id - 2]
+            if self.roi_method == "roi_align":
+                pooled_big = crop_and_resize(
+                    level_map, flat_rois, box_idx, (self.feat_pool_size,) * 2)
+            else:
+                scale = level_map.shape[1] / self.image_size
+                pooled_big = roi_pool(
+                    level_map,
+                    make_roi_pool_input(flat_rois, box_idx, float(self.image_size)),
+                    scale, (self.feat_pool_size,) * 2)
+            big_raw = critic(pooled_big, train_bn).astype(jnp.float32)
+            big_act = self._last_op(big_raw) if self.loss_choice != "ot" else big_raw
+
+            # parity: when a level has no small RoIs, its big stats are
+            # skipped too (sub_module.py:456-467)
+            level_has_small = jnp.any(s_mask).astype(jnp.float32)
+            bf, bc = class_mean(big_act, flat_gt, b_mask, self.num_classes)
+            bf = bf * level_has_small
+            bc = bc * level_has_small
+            if self.big_feat_detach:
+                bf = jax.lax.stop_gradient(bf)
+            big_feats.append(bf)
+            big_cnts.append(bc)
+
+            if self.big_supervise:
+                logits = big_fc(big_raw).astype(jnp.float32)
+                ce = -jax.nn.log_softmax(logits)[
+                    jnp.arange(logits.shape[0]), flat_gt]
+                w = b_mask.astype(jnp.float32) * level_has_small
+                big_losses.append(jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0))
+            else:
+                big_losses.append(jnp.zeros(()))
+
+        feat_out = {
+            "big_feat": jnp.stack(big_feats),        # [S, 1024, K]
+            "big_cnt": jnp.stack(big_cnts),          # [S, 1, K]
+            "small_feat": jnp.stack(small_feats),
+            "small_cnt": jnp.stack(small_cnts),
+            "big_loss": jnp.stack(big_losses),       # [S]
+            "small_out": small_out,                  # [B·R, 1024] RoI-aligned
+            "small_gt": small_gt,                    # [B·R]
+        }
+        return pooled_cls, pooled_mask, feat_out
+
+    def _roi_pool_multilevel(self, maps, flat_rois, box_idx, level_idx, size):
+        """RoIPool every RoI at all levels, select by assignment (static)."""
+        outs = []
+        for i, m in enumerate(maps):
+            scale = m.shape[1] / self.image_size
+            rois_px = make_roi_pool_input(flat_rois, box_idx, float(self.image_size))
+            outs.append(roi_pool(m, rois_px, scale, (size, size)))
+        stacked = jnp.stack(outs)                          # [4, N, s, s, C]
+        sel = jax.nn.one_hot(level_idx, 4, axis=0, dtype=stacked.dtype)
+        return jnp.einsum("ln,lnhwc->nhwc", sel, stacked)
