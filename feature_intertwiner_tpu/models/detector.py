@@ -34,6 +34,7 @@ from ..ops.targets import detection_targets, rpn_targets
 from .fpn import FPN
 from .heads import BoxHead, MaskHead
 from .intertwiner import Dev
+from .ot import OptTrans1D
 from .resnet import ResNet
 from .rpn import RPNHead, run_rpn_over_pyramid
 
@@ -188,6 +189,18 @@ class InterNet(nn.Module):
             dtype=self.dtype, name="classifier",
         )
         self.mask = MaskHead(self.num_classes, dtype=self.dtype, name="mask")
+        if self.dev_switch and self.dev_loss_choice == "ot":
+            self.ot_loss = OptTrans1D(1024, name="ot_loss", dtype=self.dtype)
+        else:
+            self.ot_loss = None
+
+    def meta_ot(self, small, big, row_weights=None):
+        """OT meta-loss between SMALL and BIG 1024-d sets (lib/model.py:206-207).
+
+        Exposed for the train step via ``model.apply(vars, ..., method='meta_ot')``
+        so the learnable G_net/critic live in the same param tree as the
+        reference's ``ot_loss`` submodule (lib/model.py:66-67)."""
+        return self.ot_loss(small, big, row_weights)
 
     # ------------------------------------------------------------------
     def _features_and_proposals(self, images, train: bool, train_bn: bool):
@@ -284,6 +297,12 @@ class InterNet(nn.Module):
                 det_t.masks, det_t.class_ids, masks_pred),
             "fpn_ot_loss": fpn_ot,
         }
+        if self.ot_loss is not None and self.is_initializing():
+            # materialize ot_loss params during init (it's only invoked from
+            # the train step via the meta_ot method otherwise)
+            dummy = jnp.zeros((2, 1024), jnp.float32)
+            self.meta_ot(dummy, dummy, jnp.zeros((2,), jnp.float32))
+
         if feat_out:
             out["intertwiner"] = {
                 key: feat_out[key]

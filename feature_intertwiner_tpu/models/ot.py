@@ -99,20 +99,27 @@ class OptTrans1D(nn.Module):
                         kernel_init=nn.initializers.normal(0.01))(z)
 
     @nn.compact
-    def __call__(self, x, y) -> jax.Array:
+    def __call__(self, x, y, row_weights: jax.Array = None) -> jax.Array:
         """x, y: [n, ch] (SMALL and BIG per-class vectors). Returns scalar.
 
         The reference feeds [n, ch, 1] NCL tensors; NHWC-style here the
         length-1 axis is spatial and ch are the conv features. The per-sample
         OT then runs over the critic's ch//4 output channels as rows of
         dimension 1 (OT_module.py:95-101).
+
+        ``row_weights`` [n] masks out padded (invalid-class) samples: their
+        per-sample OT losses are excluded from the sum — the static-shape
+        equivalent of the reference's dynamic class selection.
         """
         xg = self._g(x[:, None, :])                    # [n, 1, ch]
         cx = self._critic(xg)                          # [n, 1, ch//4 or //8]
         cy = self._critic(y[:, None, :])
         cx = cx.transpose(0, 2, 1)                     # [n, ch', 1]
         cy = cy.transpose(0, 2, 1)
-        return jnp.sum(sinkhorn_divergence(
+        per_sample = sinkhorn_divergence(
             cx.astype(jnp.float32), cy.astype(jnp.float32),
             epsilon=self.epsilon, iters=self.iters, cost_form=self.cost_form,
-        ))
+        )
+        if row_weights is not None:
+            per_sample = per_sample * row_weights.astype(per_sample.dtype)
+        return jnp.sum(per_sample)

@@ -44,24 +44,34 @@ def sinkhorn_ot(
     iters: int = 5,
     cost_form: str = "cosine",
     stop_grad_plan: bool = True,
+    weights: jax.Array = None,
 ) -> jax.Array:
     """⟨P, C⟩ after ``iters`` Sinkhorn updates. x [n,d], y [n,d] -> scalar.
 
     ``epsilon`` here multiplies the cost in the kernel (the reference stores
     ``1/epsilon`` and its default ``epsilon=1`` makes them identical).
+
+    ``weights`` ([n], optional) generalizes the uniform 1/n marginals to
+    masked marginals ``w_i = mask_i / n_selected`` — rows with weight 0 drop
+    out of the plan exactly, so a fixed-shape padded call reproduces the
+    reference's dynamic row selection (used by the class-level OT meta-loss
+    under jit).
     """
     n = x.shape[0]
     c = cost_matrix(x, y, cost_form)
     k = jnp.exp(-epsilon * c)
-    uniform = jnp.full((n, 1), 1.0 / n, dtype=x.dtype)
+    if weights is None:
+        marg = jnp.full((n, 1), 1.0 / n, dtype=x.dtype)
+    else:
+        marg = weights.reshape(n, 1).astype(x.dtype)
 
     def step(b, _):
-        a = uniform / (k @ b + EPS)
-        b_new = uniform / (k.T @ a + EPS)
+        a = marg / (k @ b + EPS)
+        b_new = marg / (k.T @ a + EPS)
         return b_new, None
 
-    b, _ = lax.scan(step, uniform, None, length=iters)
-    a = uniform / (k @ b + EPS)
+    b, _ = lax.scan(step, marg, None, length=iters)
+    a = marg / (k @ b + EPS)
     plan = a * k * b.T
     if stop_grad_plan:
         plan = lax.stop_gradient(plan)
@@ -80,15 +90,26 @@ def sinkhorn_divergence(
     cost_form: str = "cosine",
     stop_grad_plan: bool = True,
     debiased: bool = True,
+    weights: jax.Array = None,
 ) -> jax.Array:
     """Batched (de)biased OT loss. x, y: [B, n, d] -> [B].
 
     ``debiased=True`` is the reference default (``remove_bias=False`` computes
     the debiased form; the flag naming in the reference is inverted).
+    ``weights`` [B, n] optionally masks rows (see sinkhorn_ot).
     """
-    ot = jax.vmap(
-        lambda a, b: sinkhorn_ot(a, b, epsilon, iters, cost_form, stop_grad_plan)
-    )
+    if weights is None:
+        ot = jax.vmap(
+            lambda a, b: sinkhorn_ot(a, b, epsilon, iters, cost_form,
+                                     stop_grad_plan)
+        )
+        ot_xy, ot_xx, ot_yy = ot(x, y), ot(x, x), ot(y, y)
+    else:
+        ot = jax.vmap(
+            lambda a, b, w: sinkhorn_ot(a, b, epsilon, iters, cost_form,
+                                        stop_grad_plan, weights=w)
+        )
+        ot_xy, ot_xx, ot_yy = ot(x, y, weights), ot(x, x, weights), ot(y, y, weights)
     if not debiased:
-        return ot(x, y)
-    return 2.0 * ot(x, y) - ot(x, x) - ot(y, y)
+        return ot_xy
+    return 2.0 * ot_xy - ot_xx - ot_yy

@@ -1,0 +1,266 @@
+"""The functional training step: forward, meta-loss + class buffer, update.
+
+Replaces the reference's ``train_epoch`` inner loop
+(``/root/reference/lib/workflow.py:105-270``) and ``MaskRCNN.meta_loss``
+(``lib/model.py:143-224``) with one jitted function. The historic class
+buffer — module state + in-place tensor shifts in the reference
+(``initialize_buffer`` model.py:106-115, FIFO/running-mean update
+:153-166) — is explicit functional state in :class:`TrainState`, checkpointed
+with the params.
+
+SPMD: under ``shard_map`` (parallel/data_parallel.py) the per-device
+intertwiner statistics are merged with ``psum`` over the ``data`` axis —
+the in-graph equivalent of the reference's cross-GPU ``[gpu, scale, 1024,
+81]`` stat gathering (model.py:217-224, SURVEY.md §5) — and gradients are
+``pmean``'d.
+
+Loss assembly parity (workflow.py:183-221):
+``Σ detailed + LOSS_FAC·meta + BIG_LOSS_FAC·mean(big) + FPN_FAC·mean(ot)``;
+the meta term is clamped at 0 when negative, gated off before
+``EFFECT_AFER_EP_PERCENT`` of epoch 1 (buffer still updates), and skipped
+entirely when no small statistics exist this step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from . import losses as L
+from .optim import clip_global_norm, make_optimizer, trainable_mask
+
+EPS = 1e-20
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    buffer: jax.Array        # [BUFFER_SIZE, 1024, K]
+    buffer_cnt: jax.Array    # [BUFFER_SIZE, 1, K]
+
+
+def init_buffer(buffer_size: int, num_classes: int, feat_dim: int = 1024):
+    """Zero buffer (parity: initialize_buffer 'scratch', model.py:106-115)."""
+    return (
+        jnp.zeros((buffer_size, feat_dim, num_classes), jnp.float32),
+        jnp.zeros((buffer_size, 1, num_classes), jnp.float32),
+    )
+
+
+def create_train_state(cfg, variables, layers: str = "all") -> TrainState:
+    params = variables["params"]
+    tx = make_optimizer(cfg, params)
+    buf, cnt = init_buffer(
+        cfg.DEV.BUFFER_SIZE if cfg.DEV.SWITCH else 1, cfg.DATASET.NUM_CLASSES)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        buffer=buf,
+        buffer_cnt=cnt,
+    )
+
+
+def _merge_stats(feat, cnt, axis_name: Optional[str]):
+    """Merge [S, D, K] stats over scales (and devices): weighted mean.
+
+    Parity: _merge_feat_vec (model.py:218-224) + DataParallel's gpu dim."""
+    wsum = jnp.sum(feat * cnt, axis=0)          # [D, K]
+    csum = jnp.sum(cnt, axis=0)                 # [1, K]
+    if axis_name is not None:
+        wsum = jax.lax.psum(wsum, axis_name)
+        csum = jax.lax.psum(csum, axis_name)
+    return wsum / (csum + EPS), csum
+
+
+def intertwiner_meta(
+    cfg_dev: Dict[str, Any],
+    buffer: jax.Array,
+    buffer_cnt: jax.Array,
+    stats: Dict[str, jax.Array],
+    axis_name: Optional[str] = None,
+    meta_ot_fn=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Buffer update + meta loss. Returns (loss, new_buffer, new_buffer_cnt).
+
+    ``cfg_dev``: dict(buffer_size, loss_choice, inst_loss).
+    ``stats``: the Dev outputs (big/small feat+cnt, small_out, small_gt).
+    ``meta_ot_fn(small, big, weights)``: bound OT module (loss_choice='ot').
+    """
+    buffer_size = cfg_dev["buffer_size"]
+    loss_choice = cfg_dev["loss_choice"]
+    inst_loss = cfg_dev["inst_loss"]
+
+    big_merged, big_csum = _merge_stats(
+        stats["big_feat"], stats["big_cnt"], axis_name)
+
+    # Reference guard: only update/compute when small stats exist anywhere
+    # (workflow.py:192-196). Under SPMD the guard must agree across devices.
+    small_sum = jnp.sum(stats["small_feat"])
+    if axis_name is not None:
+        small_sum = jax.lax.psum(small_sum, axis_name)
+    has_small = (small_sum != 0).astype(jnp.float32)
+
+    if buffer_size == 1:
+        feat_sum = buffer * buffer_cnt + big_merged[None] * big_csum[None]
+        new_cnt = buffer_cnt + big_csum[None]
+        new_buffer = feat_sum / (new_cnt + EPS)
+        final_big = new_buffer[0]                              # [D, K]
+        final_big_cnt = new_cnt[0]                             # [1, K]
+    else:
+        new_buffer = jnp.concatenate([buffer[1:], big_merged[None]], axis=0)
+        new_cnt = jnp.concatenate([buffer_cnt[1:], big_csum[None]], axis=0)
+        final_big = (jnp.sum(new_buffer * new_cnt, axis=0)
+                     / (jnp.sum(new_cnt, axis=0) + EPS))
+        final_big_cnt = jnp.sum(new_cnt, axis=0)
+
+    # freeze buffer when no small stats this step
+    new_buffer = has_small * new_buffer + (1 - has_small) * buffer
+    new_cnt = has_small * new_cnt + (1 - has_small) * buffer_cnt
+
+    if inst_loss:
+        # instance level: every small RoI with class>0 present in the buffer
+        small_out = stats["small_out"]                         # [N, D]
+        small_gt = stats["small_gt"].astype(jnp.int32)         # [N]
+        in_buffer = final_big_cnt[0][small_gt] > 0             # [N]
+        w = ((small_gt > 0) & in_buffer).astype(jnp.float32)
+        # the reliable side always comes from the (gradient-free) buffer
+        big_rows = jax.lax.stop_gradient(final_big).T[small_gt]  # [N, D]
+        small_rows = small_out
+    else:
+        small_merged, small_csum = _merge_stats(
+            stats["small_feat"], stats["small_cnt"], axis_name)
+        small_csum = small_csum.at[0, 0].set(0.0)  # drop background
+        present = (small_csum[0] > 0) & (final_big_cnt[0] > 0)  # [K]
+        w = present.astype(jnp.float32)
+        small_rows = small_merged.T                             # [K, D]
+        big_rows = jax.lax.stop_gradient(final_big).T           # [K, D]
+
+    wm = w[:, None]
+    denom = jnp.maximum(jnp.sum(wm) * small_rows.shape[1], 1.0)
+    if loss_choice == "l2":
+        loss = jnp.sum(((small_rows - big_rows) ** 2) * wm) / denom
+    elif loss_choice == "l1":
+        loss = jnp.sum(jnp.abs(small_rows - big_rows) * wm) / denom
+    elif loss_choice == "kl":
+        # torch F.kl_div(log(SMALL), BIG), mean over elements (model.py:201)
+        kl = big_rows * (jnp.log(big_rows + EPS) - jnp.log(small_rows + EPS))
+        loss = jnp.sum(kl * wm) / denom
+    elif loss_choice == "ot":
+        loss = meta_ot_fn(small_rows, big_rows, w)
+    else:
+        raise ValueError(loss_choice)
+
+    loss = loss * has_small
+    # negative meta-loss clamps to zero (workflow.py:196-200)
+    loss = jnp.where(loss < 0, 0.0, loss)
+    return loss, new_buffer, new_cnt
+
+
+def make_train_step(model, cfg, layers: str = "all",
+                    axis_name: Optional[str] = None):
+    """Build the jittable train step.
+
+    step(state, batch, lr, meta_gate, rng) -> (state, metrics)
+    batch: dict(images, gt_class_ids, gt_boxes, gt_masks).
+    ``lr`` scalar; ``meta_gate`` scalar 0/1 (EFFECT_AFER_EP_PERCENT gating).
+    """
+    tx = None  # built lazily against the param tree
+    dev_cfg = {
+        "buffer_size": cfg.DEV.BUFFER_SIZE,
+        "loss_choice": cfg.DEV.LOSS_CHOICE,
+        "inst_loss": cfg.DEV.INST_LOSS,
+    }
+    use_dev = cfg.DEV.SWITCH and not cfg.DEV.BASELINE
+    loss_fac = cfg.DEV.LOSS_FAC
+    big_fac = cfg.DEV.BIG_LOSS_FAC if cfg.DEV.BIG_SUPERVISE else 0.0
+    fpn_ot_fac = cfg.TRAIN.FPN_OT_LOSS_FAC if cfg.TRAIN.FPN_OT_LOSS else 0.0
+    dis_reg = cfg.DEV.DIS_REG_LOSS
+    clip_grad = cfg.TRAIN.CLIP_GRAD
+    max_norm = cfg.TRAIN.MAX_GRAD_NORM
+
+    def train_step(state: TrainState, batch, lr, meta_gate, rng):
+        nonlocal tx
+        if tx is None:
+            tx = make_optimizer(cfg, state.params)
+        tmask = trainable_mask(state.params, layers)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables, batch["images"], mode="train",
+                gt_class_ids=batch["gt_class_ids"],
+                gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
+                rngs={"sampling": rng})
+
+            detailed = {
+                k: out[k] for k in (
+                    "rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
+                    "mrcnn_bbox_loss", "mrcnn_mask_loss")
+            }
+            if dis_reg:  # DEBUG flag: drop regression/mask terms (workflow:188)
+                detailed["rpn_bbox_loss"] = detailed["rpn_bbox_loss"] * 0.0
+                detailed["mrcnn_bbox_loss"] = detailed["mrcnn_bbox_loss"] * 0.0
+                detailed["mrcnn_mask_loss"] = detailed["mrcnn_mask_loss"] * 0.0
+
+            total = sum(detailed.values())
+
+            meta = jnp.zeros(())
+            new_buf, new_cnt = state.buffer, state.buffer_cnt
+            big_loss = jnp.zeros(())
+            if use_dev and "intertwiner" in out:
+                tw = out["intertwiner"]
+                meta_ot_fn = None
+                if cfg.DEV.LOSS_CHOICE == "ot":
+                    def meta_ot_fn(s, b, w):
+                        return model.apply(
+                            variables, s, b, w, method="meta_ot")
+                meta, new_buf, new_cnt = intertwiner_meta(
+                    dev_cfg, state.buffer, state.buffer_cnt, tw,
+                    axis_name=axis_name, meta_ot_fn=meta_ot_fn)
+                total = total + meta_gate * loss_fac * meta
+                big_loss = jnp.mean(tw["big_loss"])
+                total = total + big_fac * big_loss
+
+            fpn_ot = jnp.mean(out["fpn_ot_loss"])
+            total = total + fpn_ot_fac * fpn_ot
+
+            metrics = dict(detailed, total_loss=total, meta_loss=meta,
+                           big_loss=big_loss, fpn_ot_loss=fpn_ot)
+            return total, (metrics, new_buf, new_cnt)
+
+        grads, (metrics, new_buf, new_cnt) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        if clip_grad:
+            grads, gnorm = clip_global_norm(grads, max_norm)
+            metrics["grad_norm"] = gnorm
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # stage-wise freezing + torch-SGD lr position (optim.py docstring)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: jnp.where(m, -lr * u, 0.0), updates, tmask)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            buffer=jax.lax.stop_gradient(new_buf),
+            buffer_cnt=jax.lax.stop_gradient(new_cnt),
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,156 @@
+"""Train-step tests: optimization, buffer update, stage freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.config import build_config
+from feature_intertwiner_tpu.train.optim import (
+    learning_rate, param_paths, trainable_mask)
+from feature_intertwiner_tpu.train.step import (
+    create_train_state, intertwiner_meta, make_train_step)
+from test_model_forward import IMG, _synthetic_batch, tiny_model
+
+
+def _cfg(**overrides):
+    cfg = build_config()
+    cfg.DATASET.NUM_CLASSES = 8  # matches tiny_model
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.BUFFER_SIZE = 4
+    cfg.DEV.LOSS_FAC = 10.0
+    for k, v in overrides.items():
+        ns, key = k.split(".")
+        getattr(cfg, ns)[key] = v
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    rng = np.random.RandomState(0)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images, mode="train", gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+        gt_masks=gt_masks)
+    batch = dict(images=images, gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+                 gt_masks=gt_masks)
+    return model, variables, batch
+
+
+def test_train_step_updates(setup):
+    model, variables, batch = setup
+    cfg = _cfg()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, layers="all"))
+    s1, m1 = step(state, batch, jnp.float32(0.001), jnp.float32(1.0),
+                  jax.random.PRNGKey(3))
+    assert np.isfinite(float(m1["total_loss"]))
+    assert int(s1.step) == 1
+    # params changed
+    p0 = param_paths(state.params)
+    p1 = param_paths(s1.params)
+    changed = sum(
+        float(jnp.abs(p1[k] - p0[k]).max()) > 0 for k in p0)
+    assert changed > len(p0) * 0.5
+    # buffer advanced (FIFO row appended)
+    assert float(jnp.abs(s1.buffer[-1]).sum()) > 0 or float(
+        m1["meta_loss"]) == 0.0
+    # second step runs from new state
+    s2, m2 = step(s1, batch, jnp.float32(0.001), jnp.float32(1.0),
+                  jax.random.PRNGKey(4))
+    assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_stage_freezing(setup):
+    model, variables, batch = setup
+    cfg = _cfg()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, layers="heads"))
+    s1, _ = step(state, batch, jnp.float32(0.01), jnp.float32(1.0),
+                 jax.random.PRNGKey(3))
+    p0 = param_paths(state.params)
+    p1 = param_paths(s1.params)
+    mask = trainable_mask(state.params, "heads")
+    from flax import traverse_util
+    mflat = {"/".join(k): v for k, v in
+             traverse_util.flatten_dict(mask).items()}
+    for k in p0:
+        moved = float(jnp.abs(p1[k] - p0[k]).max()) > 0
+        if k.startswith("backbone/"):
+            assert not mflat[k], k
+            assert not moved, f"frozen param moved: {k}"
+
+
+def test_trainable_mask_regex():
+    params = {
+        "backbone": {"c4": {"block0": {"conv1": {"kernel": np.zeros(1)}}}},
+        "fpn": {"p5_lateral": {"kernel": np.zeros(1)}},
+        "rpn": {"shared": {"kernel": np.zeros(1)}},
+    }
+    from flax import traverse_util
+    m = {"/".join(k): v for k, v in
+         traverse_util.flatten_dict(trainable_mask(params, "heads")).items()}
+    assert m["fpn/p5_lateral/kernel"]
+    assert m["rpn/shared/kernel"]
+    assert not m["backbone/c4/block0/conv1/kernel"]
+    m4 = {"/".join(k): v for k, v in
+          traverse_util.flatten_dict(trainable_mask(params, "4+")).items()}
+    assert m4["backbone/c4/block0/conv1/kernel"]
+
+
+def test_learning_rate_schedule():
+    cfg = build_config()
+    cfg.TRAIN.SCHEDULE = [6, 4, 3]
+    cfg.TRAIN.INIT_LR = 0.01
+    assert learning_rate(cfg, 1, 10) == 0.01
+    assert learning_rate(cfg, 6, 1) == 0.01
+    np.testing.assert_allclose(learning_rate(cfg, 7, 1), 0.001)
+    np.testing.assert_allclose(learning_rate(cfg, 11, 1), 0.0001)
+    cfg.TRAIN.LR_WARM_UP = True
+    lr1 = learning_rate(cfg, 1, 1)
+    np.testing.assert_allclose(lr1, 0.01 / 3, rtol=1e-5)
+    lr500 = learning_rate(cfg, 1, 500)
+    np.testing.assert_allclose(lr500, 0.01, rtol=1e-5)
+
+
+def test_intertwiner_meta_running_mean_buffer():
+    # buffer_size=1: running mean over history (model.py:153-158)
+    k, d, s = 6, 8, 3
+    rng = np.random.RandomState(0)
+    buf = jnp.zeros((1, d, k))
+    cnt = jnp.zeros((1, 1, k))
+    feat = jnp.array(rng.rand(s, d, k).astype(np.float32))
+    ccnt = jnp.array((rng.rand(s, 1, k) > 0.3).astype(np.float32) * 3)
+    stats = {
+        "big_feat": feat, "big_cnt": ccnt,
+        "small_feat": feat * 0.5, "small_cnt": ccnt,
+        "small_out": jnp.zeros((4, d)), "small_gt": jnp.zeros((4,)),
+    }
+    cfg_dev = dict(buffer_size=1, loss_choice="l2", inst_loss=False)
+    loss, b1, c1 = intertwiner_meta(cfg_dev, buf, cnt, stats)
+    assert np.isfinite(float(loss)) and float(loss) >= 0
+    # running mean after first update equals the merged big means
+    wsum = np.sum(np.asarray(feat) * np.asarray(ccnt), 0)
+    csum = np.sum(np.asarray(ccnt), 0)
+    merged = wsum / (csum + 1e-20)
+    np.testing.assert_allclose(np.asarray(b1[0]), merged, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1[0]), csum, atol=1e-5)
+
+
+def test_intertwiner_meta_skips_when_no_smalls():
+    k, d, s = 4, 6, 3
+    buf = jnp.ones((2, d, k))
+    cnt = jnp.ones((2, 1, k))
+    stats = {
+        "big_feat": jnp.ones((s, d, k)), "big_cnt": jnp.ones((s, 1, k)),
+        "small_feat": jnp.zeros((s, d, k)), "small_cnt": jnp.zeros((s, 1, k)),
+        "small_out": jnp.zeros((4, d)), "small_gt": jnp.zeros((4,)),
+    }
+    cfg_dev = dict(buffer_size=2, loss_choice="l1", inst_loss=False)
+    loss, b1, c1 = intertwiner_meta(cfg_dev, buf, cnt, stats)
+    assert float(loss) == 0.0
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(buf))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(cnt))
