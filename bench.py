@@ -1,0 +1,85 @@
+"""Benchmark: COCO-val-shaped inference throughput, R50-FPN InterNet, 1 chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference prints sec/image at eval time but never published a number
+(/root/reference/lib/workflow.py:443-444). BASELINE.json's north star is
+≥5× images/sec/chip vs the 1-GPU PyTorch reference; we take 2.5 img/s as the
+reference-class throughput (Mask-R-CNN-family R50-FPN @1024² on the
+setup.sh-era GPU), so vs_baseline = value / 2.5.
+
+Knobs (env): BENCH_BATCH (default 4), BENCH_ITERS (default 10),
+BENCH_IMAGE (default 1024), BENCH_BACKBONE (default resnet50),
+BENCH_DTYPE (default bfloat16).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 2.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from feature_intertwiner_tpu.models import InterNet
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    size = int(os.environ.get("BENCH_IMAGE", "1024"))
+    backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
+    dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[
+        os.environ.get("BENCH_DTYPE", "bfloat16")]
+
+    model = InterNet(
+        backbone=backbone,
+        num_classes=81,
+        image_size=size,
+        dev_switch=True,
+        dev_loss_choice="l2",
+        dev_upsample_fac=1.0,
+        dtype=dtype,
+    )
+
+    rng = np.random.RandomState(0)
+    images = jnp.array(rng.randn(batch, size, size, 3).astype(np.float32))
+    windows = jnp.tile(
+        jnp.array([[0.0, 0.0, size, size]], jnp.float32), (batch, 1))
+
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images,
+                           mode="inference", windows=windows))()
+
+    @jax.jit
+    def infer(v, im, win):
+        return model.apply(v, im, mode="inference", windows=win)
+
+    def sync(o):
+        # A real device->host transfer is the only reliable sync under the
+        # remote-execution runtime (block_until_ready returns immediately).
+        return np.asarray(o["detections"])
+
+    # warmup / compile (two calls: some runtimes re-specialize on the second)
+    for _ in range(2):
+        sync(infer(variables, images, windows))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(infer(variables, images, windows))
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": f"coco_val_inference_images_per_sec_per_chip_{backbone}_{size}",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
