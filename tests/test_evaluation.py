@@ -1,0 +1,167 @@
+"""Evaluation stack tests: native RLE ops, COCO index, mAP protocol."""
+
+import json
+
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.evaluation.rle import (
+    RLE, _counts_to_string, _string_to_counts, bbox_iou_matrix)
+from feature_intertwiner_tpu.evaluation import COCO, COCOeval
+
+
+def test_native_library_built():
+    from feature_intertwiner_tpu.evaluation import rle
+    assert rle._LIB is not None, "native maskrle.so should build with g++"
+
+
+def test_rle_roundtrip(rng):
+    m = (rng.rand(37, 23) > 0.6).astype(np.uint8)
+    r = RLE.encode(m)
+    np.testing.assert_array_equal(r.decode(), m)
+    assert r.area() == m.sum()
+
+
+def test_rle_string_codec(rng):
+    m = (rng.rand(64, 48) > 0.5).astype(np.uint8)
+    r = RLE.encode(m)
+    s = _counts_to_string(r.counts)
+    back = _string_to_counts(s)
+    np.testing.assert_array_equal(back, r.counts)
+
+
+def test_rle_iou_matches_dense(rng):
+    a = (rng.rand(40, 40) > 0.5).astype(np.uint8)
+    b = (rng.rand(40, 40) > 0.5).astype(np.uint8)
+    ra, rb = RLE.encode(a), RLE.encode(b)
+    inter = float((a & b).sum())
+    union = float((a | b).sum())
+    np.testing.assert_allclose(ra.iou(rb), inter / union, rtol=1e-9)
+    np.testing.assert_allclose(ra.iou(rb, iscrowd=True), inter / a.sum(),
+                               rtol=1e-9)
+
+
+def test_rle_merge_union(rng):
+    a = (rng.rand(30, 30) > 0.7).astype(np.uint8)
+    b = (rng.rand(30, 30) > 0.7).astype(np.uint8)
+    merged = RLE.merge([RLE.encode(a), RLE.encode(b)])
+    np.testing.assert_array_equal(merged.decode(), (a | b).astype(np.uint8))
+
+
+def test_rle_bbox(rng):
+    m = np.zeros((50, 60), np.uint8)
+    m[10:20, 15:40] = 1
+    bb = RLE.encode(m).bbox()
+    np.testing.assert_array_equal(bb, [15, 10, 25, 10])
+
+
+def test_polygon_rasterization_rectangle():
+    # axis-aligned rectangle: area must be near-exact
+    poly = [10, 10, 30, 10, 30, 25, 10, 25]
+    r = RLE.from_poly(poly, 40, 40)
+    m = r.decode()
+    assert abs(m.sum() - 21 * 16) < 60  # 21x16 incl. boundary, small tolerance
+    assert m[17, 20] == 1 and m[5, 5] == 0
+
+
+def test_bbox_iou_matrix_crowd():
+    dt = np.array([[0, 0, 10, 10]])
+    gt = np.array([[5, 5, 10, 10], [0, 0, 20, 20]])
+    out = bbox_iou_matrix(dt, gt, np.array([0, 1], np.uint8))
+    np.testing.assert_allclose(out[0, 0], 25 / 175, rtol=1e-9)
+    np.testing.assert_allclose(out[0, 1], 100 / 100, rtol=1e-9)  # crowd: /dt area
+
+
+def _toy_dataset(tmp_path):
+    images = [{"id": i, "height": 100, "width": 100,
+               "file_name": f"im{i}.jpg"} for i in range(3)]
+    cats = [{"id": 1, "name": "cat", "supercategory": "animal"},
+            {"id": 2, "name": "dog", "supercategory": "animal"}]
+    anns = []
+    aid = 1
+    gt_boxes = {
+        0: [(1, [10, 10, 20, 20]), (2, [50, 50, 30, 20])],
+        1: [(1, [0, 0, 40, 40])],
+        2: [(2, [20, 20, 25, 25]), (2, [60, 60, 10, 10])],
+    }
+    for img_id, items in gt_boxes.items():
+        for cat, bb in items:
+            anns.append({"id": aid, "image_id": img_id, "category_id": cat,
+                         "bbox": bb, "area": bb[2] * bb[3], "iscrowd": 0,
+                         "segmentation": [[bb[0], bb[1], bb[0] + bb[2], bb[1],
+                                           bb[0] + bb[2], bb[1] + bb[3],
+                                           bb[0], bb[1] + bb[3]]]})
+            aid += 1
+    path = tmp_path / "ann.json"
+    path.write_text(json.dumps(
+        {"images": images, "categories": cats, "annotations": anns}))
+    return str(path), gt_boxes
+
+
+def test_coco_index_and_queries(tmp_path):
+    path, gt = _toy_dataset(tmp_path)
+    coco = COCO(path)
+    assert sorted(coco.imgs.keys()) == [0, 1, 2]
+    assert coco.getCatIds(catNms=["cat"]) == [1]
+    assert set(coco.getImgIds(catIds=[2])) == {0, 2}
+    anns = coco.loadAnns(coco.getAnnIds(imgIds=0))
+    assert len(anns) == 2
+    m = coco.annToMask(anns[0])
+    assert m.shape == (100, 100) and m.sum() > 0
+
+
+def test_cocoeval_perfect_predictions(tmp_path):
+    path, gt = _toy_dataset(tmp_path)
+    coco = COCO(path)
+    results = []
+    for img_id, items in gt.items():
+        for cat, bb in items:
+            results.append({"image_id": img_id, "category_id": cat,
+                            "bbox": list(bb), "score": 0.9})
+    dt = coco.loadRes(results)
+    ev = COCOeval(coco, dt, "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    np.testing.assert_allclose(stats[0], 1.0, atol=1e-6)  # perfect AP
+    np.testing.assert_allclose(stats[8], 1.0, atol=1e-6)  # AR@100
+
+
+def test_cocoeval_half_wrong(tmp_path):
+    path, gt = _toy_dataset(tmp_path)
+    coco = COCO(path)
+    results = []
+    for img_id, items in gt.items():
+        for k, (cat, bb) in enumerate(items):
+            if (img_id + k) % 2 == 0:
+                results.append({"image_id": img_id, "category_id": cat,
+                                "bbox": list(bb), "score": 0.9})
+            else:  # badly offset box
+                results.append({"image_id": img_id, "category_id": cat,
+                                "bbox": [bb[0] + 50, bb[1] + 50, bb[2], bb[3]],
+                                "score": 0.8})
+    dt = coco.loadRes(results)
+    ev = COCOeval(coco, dt, "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert 0.1 < stats[0] < 0.9
+
+
+def test_cocoeval_segm(tmp_path):
+    path, gt = _toy_dataset(tmp_path)
+    coco = COCO(path)
+    results = []
+    for img_id, items in gt.items():
+        for cat, bb in items:
+            m = np.zeros((100, 100), np.uint8)
+            m[bb[1]:bb[1] + bb[3], bb[0]:bb[0] + bb[2]] = 1
+            results.append({"image_id": img_id, "category_id": cat,
+                            "segmentation": RLE.encode(m).to_coco(),
+                            "score": 0.9})
+    dt = coco.loadRes(results)
+    ev = COCOeval(coco, dt, "segm")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[0] > 0.5  # near-perfect modulo polygon-vs-box rasterization
