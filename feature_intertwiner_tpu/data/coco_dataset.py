@@ -1,0 +1,221 @@
+"""COCO dataset registry + fixed-shape training batches.
+
+Capability parity with ``/root/reference/datasets/dataset_coco.py``:
+
+- :class:`Dataset` — the class/image registry (add_class/add_image/prepare,
+  source↔internal id maps, :15-137);
+- :meth:`Dataset.load_coco` — populate from COCO annotations with optional
+  class filtering; minival / valminusvalminusminival split selection happens
+  through the annotation file path (:139-188);
+- :meth:`Dataset.load_mask` — per-instance binary masks via the native RLE
+  stack, skipping degenerate objects, crowds as negative class ids (:262-356);
+- :class:`CocoDetectionDataset` — per-index full preprocessing
+  (load_image_and_gt) producing **fixed-shape** samples: GTs padded to
+  ``DATA.MAX_GT_INSTANCES`` (the reference pads dynamically per batch in
+  ``adjust_input_gt``, lib/model.py:226-249; static padding is the TPU
+  equivalent — zero class-id rows are ignored by target assignment);
+- :func:`get_data` — (train loader, val dataset, val COCO api) with the
+  QUICK_VERIFY fallback of training on minival (:449-477).
+
+Auto-download is stubbed out: this environment has no egress; point
+``DATASET.PATH`` at an existing COCO layout (or use data/synthetic.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..evaluation.coco import COCO
+from ..evaluation.rle import RLE
+from . import transforms as T
+from .loader import PrefetchLoader
+
+
+class Dataset:
+    """Generic detection-dataset registry (source-namespaced class ids)."""
+
+    def __init__(self):
+        self._image_ids: List[int] = []
+        self.image_info: List[dict] = []
+        self.class_info: List[dict] = [
+            {"source": "", "id": 0, "name": "BG"}]
+        self.source_class_ids: Dict[str, List[int]] = {}
+
+    def add_class(self, source: str, class_id: int, class_name: str):
+        for info in self.class_info:
+            if info["source"] == source and info["id"] == class_id:
+                return
+        self.class_info.append(
+            {"source": source, "id": class_id, "name": class_name})
+
+    def add_image(self, source: str, image_id, path: Optional[str], **kwargs):
+        info = {"id": image_id, "source": source, "path": path}
+        info.update(kwargs)
+        self.image_info.append(info)
+
+    def prepare(self):
+        self.num_classes = len(self.class_info)
+        self.class_ids = np.arange(self.num_classes)
+        self.class_names = [c["name"] for c in self.class_info]
+        self.num_images = len(self.image_info)
+        self._image_ids = np.arange(self.num_images)
+        self.class_from_source_map = {
+            f"{c['source']}.{c['id']}": i
+            for i, c in enumerate(self.class_info)}
+        self.sources = list({c["source"] for c in self.class_info if c["source"]})
+        self.source_class_ids = {}
+        for source in self.sources + [""]:
+            self.source_class_ids[source] = [
+                i for i, c in enumerate(self.class_info)
+                if c["source"] == source or i == 0]
+
+    @property
+    def image_ids(self):
+        return self._image_ids
+
+    def map_source_class_id(self, source_class_id: str) -> int:
+        return self.class_from_source_map[source_class_id]
+
+    def get_source_class_id(self, class_id: int, source: str) -> int:
+        info = self.class_info[class_id]
+        assert info["source"] == source
+        return info["id"]
+
+    # -- COCO ------------------------------------------------------------
+    def load_coco(self, annotation_file: str, image_dir: str,
+                  class_ids: Optional[List[int]] = None,
+                  return_coco: bool = False):
+        coco = COCO(annotation_file)
+        if class_ids:
+            image_ids = []
+            for cid in class_ids:
+                image_ids.extend(coco.getImgIds(catIds=[cid]))
+            image_ids = list(set(image_ids))
+        else:
+            class_ids = sorted(coco.getCatIds())
+            image_ids = list(coco.imgs.keys())
+
+        for cid in class_ids:
+            self.add_class("coco", cid, coco.loadCats(cid)[0]["name"])
+        for iid in image_ids:
+            self.add_image(
+                "coco", image_id=iid,
+                path=os.path.join(image_dir, coco.imgs[iid]["file_name"]),
+                width=coco.imgs[iid]["width"],
+                height=coco.imgs[iid]["height"],
+                annotations=coco.loadAnns(coco.getAnnIds(
+                    imgIds=[iid], iscrowd=None)))
+        if return_coco:
+            return coco
+
+    # -- per-image loading ----------------------------------------------
+    def load_image(self, image_id: int) -> np.ndarray:
+        path = self.image_info[image_id]["path"]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        return img
+
+    def load_mask(self, image_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (mask [H, W, N] bool, class_ids [N] int32; crowds negative)."""
+        info = self.image_info[image_id]
+        if info["source"] != "coco":
+            return (np.zeros((info.get("height", 1), info.get("width", 1), 0),
+                             bool), np.zeros((0,), np.int32))
+        masks, class_ids = [], []
+        h, w = info["height"], info["width"]
+        for ann in info["annotations"]:
+            cid = self.class_from_source_map.get(
+                f"coco.{ann['category_id']}")
+            if cid is None:
+                continue
+            m = RLE.from_coco(ann["segmentation"], h, w).decode().astype(bool)
+            if m.sum() < 1:
+                continue
+            if ann.get("iscrowd", 0):
+                cid = -cid
+                # crowds smaller than the declared box are common; keep as-is
+            masks.append(m)
+            class_ids.append(cid)
+        if not masks:
+            return np.zeros((h, w, 0), bool), np.zeros((0,), np.int32)
+        return np.stack(masks, -1), np.asarray(class_ids, np.int32)
+
+
+class CocoDetectionDataset:
+    """Indexable dataset producing fixed-shape training samples."""
+
+    def __init__(self, dataset: Dataset, config, augment: bool = True,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.config = config
+        self.augment = augment
+        self.seed = seed
+
+    def __len__(self):
+        return self.dataset.num_images
+
+    def __getitem__(self, idx: int) -> dict:
+        cfg = self.config
+        rng = np.random.RandomState((self.seed * 100003 + idx) % (2 ** 31))
+        image, meta, class_ids, bbox, mask = T.load_image_and_gt(
+            self.dataset, cfg, int(idx), augment=self.augment,
+            use_mini_mask=cfg.MRCNN.USE_MINI_MASK, rng=rng)
+        image = image.astype(np.float32) - np.asarray(
+            cfg.DATA.MEAN_PIXEL, np.float32)
+
+        g = int(cfg.DATA.MAX_GT_INSTANCES)
+        n = min(len(class_ids), g)
+        mh, mw = (cfg.MRCNN.MINI_MASK_SHAPE if cfg.MRCNN.USE_MINI_MASK
+                  else image.shape[:2])
+        gt_cls = np.zeros((g,), np.int32)
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_masks = np.zeros((g, mh, mw), np.float32)
+        gt_cls[:n] = class_ids[:n]
+        gt_boxes[:n] = bbox[:n].astype(np.float32)
+        if mask.size:
+            gt_masks[:n] = np.transpose(mask[:, :, :n], (2, 0, 1))
+        return {
+            "images": image,
+            "gt_class_ids": gt_cls,
+            "gt_boxes": gt_boxes,
+            "gt_masks": gt_masks,
+            "image_meta": meta,
+        }
+
+
+def get_data(config, data_root: Optional[str] = None):
+    """(train loader, val Dataset, val COCO api) — parity with
+    dataset_coco.py:449-477 (minival for val; train+valminusminival for
+    train; QUICK_VERIFY trains on minival)."""
+    root = data_root or config.DATASET.PATH
+    year = config.DATASET.YEAR
+
+    def ann_path(split):
+        return os.path.join(root, "annotations",
+                            f"instances_{split}{year}.json")
+
+    val = Dataset()
+    val_api = val.load_coco(ann_path("minival"),
+                            os.path.join(root, f"val{year}"),
+                            return_coco=True)
+    val.prepare()
+
+    train = Dataset()
+    if config.CTRL.QUICK_VERIFY:
+        train.load_coco(ann_path("minival"), os.path.join(root, f"val{year}"))
+    else:
+        train.load_coco(ann_path("train"), os.path.join(root, f"train{year}"))
+        vmm = ann_path("valminusminival")
+        if os.path.exists(vmm):
+            train.load_coco(vmm, os.path.join(root, f"val{year}"))
+    train.prepare()
+
+    ds = CocoDetectionDataset(train, config, augment=True,
+                              seed=config.MISC.SEED)
+    loader = PrefetchLoader(
+        ds, batch_size=config.TRAIN.BATCH_SIZE, shuffle=True,
+        num_workers=config.DATA.LOADER_WORKER_NUM, seed=config.MISC.SEED)
+    return loader, val, val_api

@@ -1,0 +1,92 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's torch ``DataLoader(num_workers=2..32)``
+(``/root/reference/datasets/dataset_coco.py:471-476``). Worker threads run the
+cv2/PIL preprocessing (which releases the GIL) and a bounded queue overlaps
+host-side augmentation with device steps. Batches are dict-of-arrays with
+fixed shapes, ready for ``jax.device_put`` / ``shard_batch``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            yield order[i:i + self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = list(self._index_batches())
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        for bi, idxs in enumerate(batches):
+            task_q.put((bi, idxs))
+        results = {}
+        lock = threading.Lock()
+        stop_event = threading.Event()
+
+        def worker():
+            while not stop_event.is_set():
+                try:
+                    bi, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset[int(i)] for i in idxs]
+                batch = {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]
+                }
+                with lock:
+                    results[bi] = batch
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            next_bi = 0
+            import time
+            while next_bi < len(batches):
+                with lock:
+                    batch = results.pop(next_bi, None)
+                if batch is None:
+                    time.sleep(0.002)
+                    continue
+                yield batch
+                next_bi += 1
+        finally:
+            stop_event.set()

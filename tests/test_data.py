@@ -1,0 +1,110 @@
+"""Data pipeline tests on a generated synthetic COCO dataset."""
+
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.config import build_config
+from feature_intertwiner_tpu.data import (
+    CocoDetectionDataset, Dataset, PrefetchLoader, get_data)
+from feature_intertwiner_tpu.data import synthetic, transforms as T
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    synthetic.generate(str(root), num_images=6, seed=1)
+    return str(root)
+
+
+def _small_cfg():
+    cfg = build_config(debug=True)  # 512 max dim
+    cfg.DATA.MAX_GT_INSTANCES = 10
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.CTRL.QUICK_VERIFY = True
+    return cfg
+
+
+def test_resize_image_aspect_and_window():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, window, scale, pad = T.resize_image(img, min_dim=128, max_dim=256,
+                                             padding=True)
+    assert out.shape == (256, 256, 3)
+    # scale limited by max_dim: 256/200 = 1.28
+    np.testing.assert_allclose(scale, 1.28)
+    top, left, y2, x2 = window
+    assert x2 - left == 256 and y2 - top == 128
+    assert top == (256 - 128) // 2
+
+
+def test_resize_image_no_upscale_beyond_max():
+    img = np.zeros((500, 1000, 3), np.uint8)
+    out, window, scale, _ = T.resize_image(img, min_dim=800, max_dim=1024,
+                                           padding=True)
+    assert out.shape == (1024, 1024, 3)
+    np.testing.assert_allclose(scale, 1.024)
+
+
+def test_minimize_and_expand_mask():
+    mask = np.zeros((64, 64, 1), bool)
+    mask[10:30, 20:50, 0] = True
+    bbox = T.extract_bboxes(mask)
+    np.testing.assert_array_equal(bbox[0], [10, 20, 30, 50])
+    mini = T.minimize_mask(bbox, mask, (14, 14))
+    assert mini.shape == (14, 14, 1)
+    assert mini.sum() > 0.8 * 14 * 14  # a filled box stays mostly filled
+    back = T.expand_mask(bbox, mini, (64, 64))
+    iou = (back[..., 0] & mask[..., 0]).sum() / (
+        (back[..., 0] | mask[..., 0]).sum())
+    assert iou > 0.9
+
+
+def test_unmold_mask():
+    m = np.ones((28, 28), np.float32) * 0.9
+    full = T.unmold_mask(m, (5, 10, 25, 40), (64, 64))
+    assert full.shape == (64, 64)
+    assert full[6:24, 11:39].all()
+    assert full[:5].sum() == 0
+
+
+def test_image_meta_roundtrip():
+    meta = T.compose_image_meta(3, (512, 512, 3), (10, 20, 500, 480),
+                                np.ones(4), 77)
+    ids, shape, window, active, coco_id = T.parse_image_meta(meta[None])
+    assert ids[0] == 3 and coco_id[0] == 77
+    np.testing.assert_array_equal(window[0], [10, 20, 500, 480])
+
+
+def test_dataset_load_coco_and_masks(coco_root):
+    import os
+    ds = Dataset()
+    coco = ds.load_coco(
+        os.path.join(coco_root, "annotations", "instances_minival2014.json"),
+        os.path.join(coco_root, "val2014"), return_coco=True)
+    ds.prepare()
+    assert ds.num_classes == 4  # BG + 3 shapes
+    assert ds.num_images == 6
+    img = ds.load_image(0)
+    assert img.ndim == 3 and img.shape[2] == 3
+    mask, cls = ds.load_mask(0)
+    assert mask.shape[:2] == img.shape[:2]
+    assert len(cls) == mask.shape[-1] > 0
+    assert (cls > 0).all()
+
+
+def test_fixed_shape_samples_and_loader(coco_root):
+    cfg = _small_cfg()
+    loader, val, val_api = get_data(cfg, data_root=coco_root)
+    batch = next(iter(loader))
+    b = cfg.TRAIN.BATCH_SIZE
+    assert batch["images"].shape == (b, 512, 512, 3)
+    assert batch["gt_class_ids"].shape == (b, 10)
+    assert batch["gt_boxes"].shape == (b, 10, 4)
+    assert batch["gt_masks"].shape == (b, 10, 56, 56)
+    assert batch["image_meta"].shape[0] == b
+    # boxes are pixel coords within the padded canvas
+    valid = batch["gt_class_ids"] > 0
+    assert valid.any()
+    assert batch["gt_boxes"][valid].max() <= 512
+    # all batches in an epoch
+    n = sum(1 for _ in loader)
+    assert n == len(loader) == 3
