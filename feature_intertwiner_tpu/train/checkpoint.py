@@ -1,0 +1,104 @@
+"""Orbax checkpoint / resume.
+
+Capability parity with ``save_model`` / ``update_config_and_load_model``
+(``/root/reference/tools/utils.py:250-471, 567-586``): the checkpoint payload
+carries (params, batch_stats, opt_state, **intertwiner buffer + counts**,
+step) plus epoch/iter metadata; resume resolves the newest checkpoint under
+``results/<config>/train`` (``_find_last``), with explicit-path and
+pretrained-file alternatives; buffer-size mismatches fall back to a fresh
+buffer (utils.py:374-389).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+from .step import TrainState, init_buffer
+
+CKPT_RE = re.compile(r"ckpt_ep(\d+)_iter(\d+)$")
+
+
+def checkpoint_dir(result_folder: str) -> str:
+    return os.path.abspath(os.path.join(result_folder, "checkpoints"))
+
+
+def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
+                    iter_ind: int):
+    path = os.path.join(checkpoint_dir(result_folder),
+                        f"ckpt_ep{epoch:04d}_iter{iter_ind:06d}")
+    ckpt = ocp.PyTreeCheckpointer()
+    payload = serialization.to_state_dict(jax.device_get({
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "buffer": state.buffer,
+        "buffer_cnt": state.buffer_cnt,
+        "step": state.step,
+        "meta": {"epoch": np.int32(epoch), "iter": np.int32(iter_ind)},
+    }))
+    ckpt.save(path, payload, force=True)
+    return path
+
+
+def find_last(result_folder: str) -> Optional[str]:
+    """Newest checkpoint path (parity: _find_last, utils.py:250-260)."""
+    d = checkpoint_dir(result_folder)
+    if not os.path.isdir(d):
+        return None
+    best, best_key = None, (-1, -1)
+    for name in os.listdir(d):
+        m = CKPT_RE.match(name)
+        if m:
+            key = (int(m.group(1)), int(m.group(2)))
+            if key > best_key:
+                best, best_key = os.path.join(d, name), key
+    return best
+
+
+def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
+    """Restore into ``state``'s structure; returns (state, epoch, iter)."""
+    ckpt = ocp.PyTreeCheckpointer()
+    raw = ckpt.restore(path)
+    meta = raw.pop("meta")
+
+    if np.asarray(raw["buffer"]).shape != np.asarray(state.buffer).shape:
+        # buffer-size mismatch fallback (parity: utils.py:374-389 keeps the
+        # weights and re-initializes the buffer on mismatch)
+        raw["buffer"] = np.asarray(state.buffer)
+        raw["buffer_cnt"] = np.asarray(state.buffer_cnt)
+
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "buffer": state.buffer,
+        "buffer_cnt": state.buffer_cnt,
+        "step": state.step,
+    }
+    restored = serialization.from_state_dict(template, raw)
+    new_state = state.replace(**restored)
+    return new_state, int(meta["epoch"]), int(meta["iter"])
+
+
+def resolve_init(cfg, result_folder: str) -> Optional[str]:
+    """Resolve the init source (parity: update_config_and_load_model
+    utils.py:271-313): explicit file > last checkpoint > pretrained paths."""
+    choice = cfg.MODEL.INIT_FILE_CHOICE
+    if choice and os.path.exists(str(choice)) and choice != "last":
+        return str(choice)
+    last = find_last(result_folder)
+    if last:
+        return last
+    if choice == "coco_pretrain" and os.path.exists(cfg.MODEL.PRETRAIN_COCO_MODEL):
+        return cfg.MODEL.PRETRAIN_COCO_MODEL
+    if choice == "imagenet_pretrain" and os.path.exists(
+            cfg.MODEL.PRETRAIN_IMAGENET_MODEL):
+        return cfg.MODEL.PRETRAIN_IMAGENET_MODEL
+    return None

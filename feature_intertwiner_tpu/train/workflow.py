@@ -1,0 +1,315 @@
+"""Train / eval workflow: the reference's ``lib/workflow.py`` rebuilt.
+
+- :func:`train_model` — one stage ('heads' / '4+' / 'all') of the 3-stage
+  schedule with stage skipping on resume (workflow.py:15-102);
+- :func:`train_epoch` — the iteration loop: per-iter LR, meta-loss gating
+  after ``EFFECT_AFER_EP_PERCENT`` of epoch 1, periodic console/metrics
+  logging and intra-epoch checkpoints (workflow.py:105-270). The loop body is
+  one jitted SPMD step (train/step.py) — no per-iteration host work beyond
+  the data feed;
+- :func:`test_model` — batch eval: mold inputs, jitted inference, unmold
+  detections back to original-image coordinates, full-size masks, COCO-format
+  results with RLE-encoded masks, det-result caching (skip inference when the
+  cache exists), COCOeval bbox summarize (workflow.py:273-473).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import transforms as T
+from ..evaluation import COCOeval
+from ..evaluation.rle import RLE
+from ..utils.logging import MetricsLogger, format_loss_line, print_log
+from . import checkpoint as ckpt
+from .optim import learning_rate
+from .step import create_train_state, make_train_step
+
+STAGE_ORDER = {"heads": 1, "4+": 2, "all": 3}
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+class Trainer:
+    """Holds model/config/state across stages (epoch/iter bookkeeping)."""
+
+    def __init__(self, model, cfg, variables, mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.state = create_train_state(cfg, variables)
+        self.epoch = 1
+        self.iter = 1
+        self._steps = {}
+        self.metrics_logger = MetricsLogger(
+            os.path.join(cfg.MISC.RESULT_FOLDER or ".", "metrics.jsonl"))
+
+    def _get_step(self, layers: str):
+        if layers not in self._steps:
+            if self.mesh is not None:
+                from ..parallel import make_parallel_train_step
+                self._steps[layers] = make_parallel_train_step(
+                    self.model, self.cfg, layers, self.mesh)
+            else:
+                self._steps[layers] = jax.jit(
+                    make_train_step(self.model, self.cfg, layers))
+        return self._steps[layers]
+
+    def resume(self):
+        folder = self.cfg.MISC.RESULT_FOLDER
+        path = ckpt.resolve_init(self.cfg, folder)
+        if path and ckpt.CKPT_RE.match(os.path.basename(path)):
+            self.state, epoch, it = ckpt.restore_checkpoint(path, self.state)
+            # epoch-boundary rollover (parity: utils.py:335-339)
+            total_iter = getattr(self, "_iters_per_epoch", None)
+            self.epoch, self.iter = epoch, it + 1
+            print_log(f"resumed from {path} (ep {epoch}, iter {it})",
+                      self.cfg.MISC.LOG_FILE)
+            if self.cfg.TRAIN.FORCE_START_EPOCH:
+                self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
+        return self
+
+
+def train_model(trainer: Trainer, loader, layers: str,
+                val_loader=None, val_api=None, val_dataset=None):
+    """One stage; epochs covered = cumulative SCHEDULE up to this stage."""
+    cfg = trainer.cfg
+    stage_name = layers.upper()
+    total_ep = int(np.sum(cfg.TRAIN.SCHEDULE[:STAGE_ORDER[layers]]))
+    if trainer.epoch > total_ep:
+        print_log(f"skip {stage_name} stage ...", cfg.MISC.LOG_FILE)
+        return
+    print_log(
+        f"\n[Stage {stage_name}] start at epoch {trainer.epoch}, "
+        f"iter {trainer.iter}; stage ends at epoch {total_ep}.",
+        cfg.MISC.LOG_FILE)
+
+    for ep in range(trainer.epoch, total_ep + 1):
+        epoch_str = f"[Ep {ep:03d}/{total_ep}]"
+        print_log(epoch_str, cfg.MISC.LOG_FILE)
+        train_epoch(trainer, loader, layers, ep,
+                    start_iter=trainer.iter, stage_name=stage_name,
+                    epoch_str=epoch_str)
+        ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state, ep,
+                             len(loader))
+        trainer.iter = 1
+        trainer.epoch = ep
+
+    trainer.epoch += 1
+    if cfg.TRAIN.DO_VALIDATION and val_dataset is not None:
+        print_log(f"\nValidation at end of stage [{stage_name}] ...",
+                  cfg.MISC.LOG_FILE)
+        test_model(trainer.model,
+                   {"params": trainer.state.params,
+                    **({"batch_stats": trainer.state.batch_stats}
+                       if trainer.state.batch_stats else {})},
+                   cfg, val_dataset, val_api, during_train=True,
+                   epoch=trainer.epoch - 1)
+
+
+def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
+                start_iter: int = 1, stage_name: str = "", epoch_str: str = ""):
+    cfg = trainer.cfg
+    step_fn = trainer._get_step(layers)
+    total_iter = len(loader)
+    trainer._iters_per_epoch = total_iter
+    save_base = max(1, math.floor(
+        total_iter / cfg.TRAIN.SAVE_FREQ_WITHIN_EPOCH))
+
+    # meta-loss takes effect after a fraction of epoch 1 (workflow.py:126-133)
+    if epoch == 1 and cfg.DEV.SWITCH:
+        do_meta_after = math.floor(
+            cfg.DEV.EFFECT_AFER_EP_PERCENT * total_iter)
+    else:
+        do_meta_after = -1
+
+    loader.set_epoch(epoch)
+    rng = jax.random.PRNGKey(cfg.MISC.SEED + 1009 * epoch)
+
+    it = start_iter - 1
+    t_iter = time.time()
+    for batch in loader:
+        it += 1
+        if it > total_iter:
+            break
+        lr = learning_rate(cfg, epoch, it)
+        meta_gate = 1.0 if it > do_meta_after else 0.0
+        rng, sub = jax.random.split(rng)
+
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if k != "image_meta"}
+        if trainer.mesh is not None:
+            from ..parallel import shard_batch
+            device_batch = shard_batch(device_batch, trainer.mesh)
+
+        trainer.state, metrics = step_fn(
+            trainer.state, device_batch, jnp.float32(lr),
+            jnp.float32(meta_gate), sub)
+
+        if (it % cfg.CTRL.SHOW_INTERVAL == 0 or it == start_iter
+                or it == total_iter):
+            host_metrics = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+            dt = time.time() - t_iter
+            print_log(
+                format_loss_line(stage_name, epoch_str, it, total_iter, lr,
+                                 host_metrics, dt / max(1, cfg.CTRL.SHOW_INTERVAL)),
+                cfg.MISC.LOG_FILE)
+            trainer.metrics_logger.log(epoch=epoch, iter=it, lr=lr,
+                                       **host_metrics)
+            t_iter = time.time()
+
+        if it % save_base == 0:
+            ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state,
+                                 epoch, it)
+    trainer.iter = 1
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+def mold_inputs(images, cfg):
+    """Per-image resize/pad/normalize -> (molded [B,S,S,3], metas, windows).
+    Parity: _mold_inputs (workflow.py:476-520)."""
+    molded, metas, windows = [], [], []
+    for img in images:
+        m, window, scale, _ = T.resize_image(
+            img, min_dim=cfg.DATA.IMAGE_MIN_DIM,
+            max_dim=cfg.DATA.IMAGE_MAX_DIM, padding=cfg.DATA.IMAGE_PADDING)
+        molded.append(m.astype(np.float32)
+                      - np.asarray(cfg.DATA.MEAN_PIXEL, np.float32))
+        metas.append(T.compose_image_meta(
+            0, m.shape, window, np.zeros(cfg.DATASET.NUM_CLASSES), 0))
+        windows.append(window)
+    return (np.stack(molded), np.stack(metas),
+            np.asarray(windows, np.float32))
+
+
+def unmold_detections(detections, masks, original_shape, window, cfg):
+    """Back-project to original image coords + full-size binary masks.
+    Parity: _unmold_detections (workflow.py:523-600)."""
+    valid = detections[:, 5] > 0
+    det = detections[valid]
+    n = len(det)
+    boxes = det[:, :4].copy()
+    class_ids = det[:, 4].astype(np.int32)
+    scores = det[:, 5]
+
+    wy1, wx1, wy2, wx2 = window
+    shift = np.array([wy1, wx1, wy1, wx1])
+    hs = original_shape[0] / max(wy2 - wy1, 1)
+    ws = original_shape[1] / max(wx2 - wx1, 1)
+    scale = np.array([hs, ws, hs, ws])
+    boxes = (boxes - shift) * scale
+    boxes = np.round(boxes).astype(np.int32)
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, original_shape[0])
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, original_shape[1])
+
+    full_masks = []
+    for i in range(n):
+        if masks is None:
+            full_masks.append(None)
+            continue
+        m = masks[i, :, :, class_ids[i]]
+        full_masks.append(T.unmold_mask(m, boxes[i], original_shape))
+    return boxes, class_ids, scores, full_masks
+
+
+def test_model(model, variables, cfg, val_dataset, coco_api,
+               during_train: bool = False, epoch: int = 0,
+               limit: Optional[int] = None, eval_masks: bool = False):
+    """Run COCO evaluation; returns the 12 COCOeval stats (bbox).
+
+    Detections are cached to ``det_result_ep<epoch>.json`` and reused when
+    present (parity: workflow.py:340-350)."""
+    folder = cfg.MISC.RESULT_FOLDER or "."
+    os.makedirs(folder, exist_ok=True)
+    cache = os.path.join(folder, f"det_result_ep{epoch:04d}.json")
+    log_file = cfg.MISC.LOG_FILE
+
+    image_ids = list(val_dataset.image_ids)
+    if limit:
+        image_ids = image_ids[:limit]
+
+    if os.path.exists(cache):
+        print_log(f"loading cached detections: {cache}", log_file)
+        with open(cache) as f:
+            results = json.load(f)
+    else:
+        bs = max(1, cfg.TEST.BATCH_SIZE)
+
+        @jax.jit
+        def infer(v, im, win):
+            return model.apply(v, im, mode="inference", windows=win)
+
+        results = []
+        t0 = time.time()
+        for start in range(0, len(image_ids), bs):
+            chunk = image_ids[start:start + bs]
+            images = [val_dataset.load_image(int(i)) for i in chunk]
+            pad = bs - len(images)
+            molded, metas, windows = mold_inputs(images, cfg)
+            if pad:
+                molded = np.concatenate(
+                    [molded, np.zeros_like(molded[:1]).repeat(pad, 0)])
+                windows = np.concatenate(
+                    [windows, windows[:1].repeat(pad, 0)])
+            out = jax.device_get(infer(
+                variables, jnp.asarray(molded), jnp.asarray(windows)))
+            dets = np.asarray(out["detections"], np.float32)
+            masks = np.asarray(out["masks"], np.float32)
+
+            for k, img_idx in enumerate(chunk):
+                orig_shape = images[k].shape
+                boxes, class_ids, scores, full_masks = unmold_detections(
+                    dets[k], masks[k] if eval_masks else None,
+                    orig_shape, windows[k], cfg)
+                coco_img_id = val_dataset.image_info[int(img_idx)]["id"]
+                for j in range(len(class_ids)):
+                    y1, x1, y2, x2 = boxes[j]
+                    result = {
+                        "image_id": int(coco_img_id),
+                        "category_id": val_dataset.get_source_class_id(
+                            int(class_ids[j]), "coco"),
+                        "bbox": [float(x1), float(y1), float(x2 - x1),
+                                 float(y2 - y1)],
+                        "score": float(scores[j]),
+                    }
+                    if eval_masks and full_masks[j] is not None:
+                        result["segmentation"] = RLE.encode(
+                            full_masks[j]).to_coco()
+                    results.append(result)
+        dt = time.time() - t0
+        print_log(
+            f"prediction time: {dt:.2f}s "
+            f"({dt / max(len(image_ids), 1):.3f} s/im)", log_file)
+        with open(cache, "w") as f:
+            json.dump(results, f)
+
+    if not results:
+        print_log("no detections produced; skipping COCOeval", log_file)
+        return np.zeros(12)
+
+    coco_dt = coco_api.loadRes(results)
+    ev = COCOeval(coco_api, coco_dt, "bbox")
+    ev.params.img_ids = sorted(
+        val_dataset.image_info[int(i)]["id"] for i in image_ids)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(log_file)
+    if eval_masks:
+        ev_m = COCOeval(coco_api, coco_dt, "segm")
+        ev_m.params.img_ids = ev.params.img_ids
+        ev_m.evaluate()
+        ev_m.accumulate()
+        ev_m.summarize(log_file)
+    return stats

@@ -1,0 +1,106 @@
+"""End-to-end workflow integration (the QUICK_VERIFY equivalent, SURVEY §4):
+synthetic COCO data → Trainer(train_epoch) → checkpoint → test_model(COCOeval).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.config import build_config
+from feature_intertwiner_tpu.data import get_data, synthetic
+from feature_intertwiner_tpu.models import InterNet
+from feature_intertwiner_tpu.train import checkpoint as ckpt
+from feature_intertwiner_tpu.train.workflow import (
+    Trainer, mold_inputs, train_epoch, unmold_detections)
+from feature_intertwiner_tpu.train.workflow import test_model as run_eval
+
+IMG = 128
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cocodata")
+    synthetic.generate(str(root), num_images=4, size=(100, 140), seed=3)
+    cfg = build_config()
+    cfg.CTRL.QUICK_VERIFY = True
+    cfg.MODEL.BACKBONE = "resnet50"
+    cfg.DATA.IMAGE_MIN_DIM = 96
+    cfg.DATA.IMAGE_MAX_DIM = IMG
+    cfg.DATA.MAX_GT_INSTANCES = 8
+    cfg.RPN.ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    cfg.RPN.PRE_NMS_LIMIT = 200
+    cfg.RPN.POST_NMS_ROIS_INFERENCE = 48
+    cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 24
+    cfg.TEST.DET_MAX_INSTANCES = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.SCHEDULE = [1, 0, 0]
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.UPSAMPLE_FAC = 1.0
+    cfg.DEV.BUFFER_SIZE = 2
+    cfg.DATA.LOADER_WORKER_NUM = 2
+    cfg.finalize()
+    cfg.MISC.RESULT_FOLDER = str(tmp_path_factory.mktemp("results"))
+
+    loader, val, val_api = get_data(cfg, data_root=str(root))
+    cfg.DATASET.NUM_CLASSES = val.num_classes
+
+    model = InterNet.from_config(cfg)
+    g = cfg.DATA.MAX_GT_INSTANCES
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, IMG, IMG, 3)), mode="train",
+        gt_class_ids=jnp.zeros((1, g), jnp.int32),
+        gt_boxes=jnp.zeros((1, g, 4)),
+        gt_masks=jnp.zeros((1, g, 56, 56)))
+    return cfg, loader, val, val_api, model, variables
+
+
+@pytest.mark.slow
+def test_train_epoch_and_eval_roundtrip(env):
+    cfg, loader, val, val_api, model, variables = env
+    trainer = Trainer(model, cfg, variables, mesh=None)
+    train_epoch(trainer, loader, "all", epoch=1, stage_name="ALL",
+                epoch_str="[Ep 1/1]")
+    assert int(trainer.state.step) == len(loader)
+
+    path = ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state, 1, 2)
+    assert os.path.exists(path)
+    assert ckpt.find_last(cfg.MISC.RESULT_FOLDER) == path
+
+    # restore into a fresh trainer and verify params match
+    t2 = Trainer(model, cfg, variables, mesh=None)
+    restored, ep, it = ckpt.restore_checkpoint(path, t2.state)
+    assert (ep, it) == (1, 2)
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # eval loop end-to-end with COCOeval
+    eval_vars = {"params": restored.params}
+    if restored.batch_stats:
+        eval_vars["batch_stats"] = restored.batch_stats
+    stats = run_eval(model, eval_vars, cfg, val, val_api, epoch=1)
+    assert stats.shape == (12,)
+    # det-result cache written; rerun hits cache
+    cache = os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0001.json")
+    assert os.path.exists(cache)
+    stats2 = run_eval(model, eval_vars, cfg, val, val_api, epoch=1)
+    np.testing.assert_allclose(stats, stats2)
+
+
+def test_mold_unmold_roundtrip(env):
+    cfg = env[0]
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (100, 140, 3)).astype(np.uint8)
+    molded, metas, windows = mold_inputs([img], cfg)
+    assert molded.shape == (1, IMG, IMG, 3)
+    wy1, wx1, wy2, wx2 = windows[0]
+    # a detection covering the full window maps back to the full image
+    det = np.array([[wy1, wx1, wy2, wx2, 1, 0.9]], np.float32)
+    boxes, cls, scores, _ = unmold_detections(
+        det, None, img.shape, windows[0], cfg)
+    np.testing.assert_array_equal(boxes[0], [0, 0, 100, 140])
