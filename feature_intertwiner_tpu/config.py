@@ -365,6 +365,14 @@ class Config:
             ]
         )
 
+        # scale loader workers with the data-parallel degree
+        # (parity: lib/config.py:353-356 scales 16/32 for 4/8 GPUs)
+        n_dev = c.TPU.MESH_DATA if c.TPU.MESH_DATA > 0 else len(c.MISC.DEVICE_ID)
+        if n_dev >= 8:
+            c.DATA.LOADER_WORKER_NUM = max(c.DATA.LOADER_WORKER_NUM, 32)
+        elif n_dev >= 4:
+            c.DATA.LOADER_WORKER_NUM = max(c.DATA.LOADER_WORKER_NUM, 16)
+
         if c.DEV.BIG_FC_INIT == "coco_pretrain":
             c.DEV.BIG_FC_INIT_LIST = {
                 "dev/big_fc/kernel": "classifier/linear_class/kernel",

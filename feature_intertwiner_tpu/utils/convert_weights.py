@@ -280,3 +280,51 @@ def merge_pretrained(params: dict, batch_stats: dict,
 
     return (overlay(params, loaded_params, "params"),
             overlay(batch_stats, loaded_stats, "batch_stats"))
+
+
+def _cli():
+    """CLI (parity: tools/convert_from_keras.py is a conversion CLI)::
+
+        python -m feature_intertwiner_tpu.utils.convert_weights \
+            --input weights.h5|ckpt.pth --format keras|reference \
+            --arch resnet101 --output converted.npz
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="Convert pretrained weights")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", choices=["keras", "reference"], required=True)
+    p.add_argument("--arch", default="resnet101")
+    p.add_argument("--upsample_fac", type=float, default=1.0)
+    p.add_argument("--output", required=True)
+    args = p.parse_args()
+
+    if args.format == "keras":
+        params, stats = convert_keras_h5(args.input, args.arch)
+    else:
+        sd = load_torch_checkpoint(args.input)
+        params, stats = convert_reference_state_dict(
+            sd, args.arch, upsample_fac=args.upsample_fac)
+
+    flat_p = {"params/" + "/".join(k): v for k, v in
+              traverse_util.flatten_dict(params).items()}
+    flat_s = {"batch_stats/" + "/".join(k): v for k, v in
+              traverse_util.flatten_dict(stats).items()}
+    np.savez(args.output, **flat_p, **flat_s)
+    print(f"wrote {len(flat_p)} params + {len(flat_s)} stats to {args.output}")
+
+
+def load_converted_npz(path: str):
+    """Load an npz produced by the CLI back into (params, batch_stats)."""
+    data = np.load(path)
+    p, s = {}, {}
+    for key in data.files:
+        if key.startswith("params/"):
+            p[tuple(key[len("params/"):].split("/"))] = data[key]
+        elif key.startswith("batch_stats/"):
+            s[tuple(key[len("batch_stats/"):].split("/"))] = data[key]
+    return (traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(s))
+
+
+if __name__ == "__main__":
+    _cli()
