@@ -23,8 +23,22 @@ Replaces the reference's C/CUDA extension
 3. :func:`crop_and_resize_pallas` — Pallas kernel holding a channel-tile of
    the feature map resident in VMEM; boxes are streamed through SMEM and
    interpolation runs as small MXU matmuls. Sequential full-map DMA instead
-   of random-access gather; wins when boxes×crop² is large relative to the
-   map. Forward-parity-tested against (1); backward via custom_vjp → (1).
+   of random-access gather. Forward-parity-tested against (1); backward via
+   custom_vjp → (1). :func:`crop_and_resize_pallas_mm` is a vectorized
+   two-matmul variant (y-interp as one [BT·ch, H] MXU matmul).
+
+   Mosaic/TPU constraints discovered on hardware (kept as the roadmap for
+   making the Pallas path the default — the XLA fused gather (2) is the
+   production path today):
+   - in-kernel ``dot_general`` must be strictly 2-D (a 3-D rhs or batched
+     dims crash the Mosaic pipeline);
+   - reshapes that merge/split the lane dim (e.g. ``[H,W,CT]→[H,W·CT]``)
+     and mid-tensor transposes relayout and crash at scale;
+   - blocks resident in VMEM are double-buffered across grid steps — raise
+     ``CompilerParams(vmem_limit_bytes=…)`` (v5e has 128MB VMEM) or the
+     compile helper aborts;
+   - ``fori_loop(..., unroll=True)`` over row reads explodes compile time;
+   - iota must be ≥2-D and integer-typed.
 
 Layout is NHWC (TPU-native; the reference is NCHW).
 """
@@ -222,13 +236,14 @@ def multilevel_crop_and_resize(
 # 3. Pallas kernel (single level, NHWC, channel-tiled VMEM-resident map)
 # ---------------------------------------------------------------------------
 def _roi_align_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w, extrap):
-    """One grid step: all boxes of one (batch, channel-tile, box-tile).
+    """One grid step: all boxes of one (batch, channel-group, box-tile).
 
     boxes_ref: SMEM [1, BT, 4] normalized (y1,x1,y2,x2)
-    image_ref: VMEM [1, H, W, CT]
-    out_ref:   VMEM [1, BT, crop_h, crop_w, CT]
+    image_ref: VMEM [1, 1, H, W, CT]  (channels pre-grouped so the block's
+               last dim is the full CT — TPU block lane-dim constraint)
+    out_ref:   VMEM [1, 1, BT, crop_h, crop_w, CT]
     """
-    _, h, w, ct = image_ref.shape
+    _, _, h, w, ct = image_ref.shape
     bt = boxes_ref.shape[1]
     h_f, w_f = float(h), float(w)
 
@@ -241,24 +256,26 @@ def _roi_align_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w, extrap):
         x2 = boxes_ref[0, i, 3]
 
         # x-interpolation matrix [crop_w, W]: two taps per row, zeroed when
-        # the sample falls outside the image (extrapolation).
+        # the sample falls outside the image (extrapolation). TPU iota must be
+        # >=2D and integer — build sample indices as an int column vector.
+        ix = lax.broadcasted_iota(jnp.int32, (crop_w, 1), 0).astype(jnp.float32)
         if crop_w > 1:
             step_x = (x2 - x1) * (w_f - 1.0) / (crop_w - 1)
-            pos_x = x1 * (w_f - 1.0) + jnp.arange(crop_w, dtype=jnp.float32) * step_x
+            pos_x = x1 * (w_f - 1.0) + ix * step_x          # [crop_w, 1]
         else:
-            pos_x = jnp.full((1,), 0.5 * (x1 + x2) * (w_f - 1.0))
-        vx = (pos_x >= 0.0) & (pos_x <= w_f - 1.0)
+            pos_x = jnp.zeros((1, 1), jnp.float32) + 0.5 * (x1 + x2) * (w_f - 1.0)
+        vx = (pos_x >= 0.0) & (pos_x <= w_f - 1.0)          # [crop_w, 1]
         lxf = jnp.floor(pos_x)
         lx = pos_x - lxf
         li = jnp.clip(lxf.astype(jnp.int32), 0, w - 1)
         ri = jnp.clip(jnp.ceil(pos_x).astype(jnp.int32), 0, w - 1)
         xmat = (
-            (col_ids == li[:, None]).astype(jnp.float32) * (1.0 - lx[:, None])
-            + (col_ids == ri[:, None]).astype(jnp.float32) * lx[:, None]
+            (col_ids == li).astype(jnp.float32) * (1.0 - lx)
+            + (col_ids == ri).astype(jnp.float32) * lx
         )
         # When left==right (integer sample) both comparisons hit the same
         # column; (1-lx)+lx = 1 with lx==0 — weights stay exact.
-        xmat = jnp.where(vx[:, None], xmat, 0.0)
+        xmat = jnp.where(vx, xmat, 0.0)
 
         if crop_h > 1:
             step_y = (y2 - y1) * (h_f - 1.0) / (crop_h - 1)
@@ -275,18 +292,21 @@ def _roi_align_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w, extrap):
             ly = pos_y - tyf
             ti = jnp.clip(tyf.astype(jnp.int32), 0, h - 1)
             bi = jnp.clip(jnp.ceil(pos_y).astype(jnp.int32), 0, h - 1)
-            row_t = image_ref[0, ti, :, :]          # [W, CT]
-            row_b = image_ref[0, bi, :, :]
+            row_t = image_ref[0, 0, ti, :, :]       # [W, CT]
+            row_b = image_ref[0, 0, bi, :, :]
             row = row_t + (row_b - row_t) * ly      # [W, CT]
-            vals = jnp.dot(xmat, row, preferred_element_type=jnp.float32)
+            vals = jnp.dot(xmat, row.astype(jnp.float32),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
             vals = jnp.where(vy, vals, extrap)      # whole sample row invalid
             # re-apply x extrapolation (xmat zeroed gives 0, not extrap)
             if extrap != 0.0:
-                vals = jnp.where(vx[:, None], vals, extrap)
-            out_ref[0, i, j, :, :] = vals
+                vals = jnp.where(vx, vals, extrap)
+            out_ref[0, 0, i, j, :, :] = vals.astype(out_ref.dtype)
             return 0
 
-        lax.fori_loop(0, crop_h, per_row, 0, unroll=True)
+        # NOTE: no unroll — unrolled row loops explode Mosaic compile time
+        lax.fori_loop(0, crop_h, per_row, 0)
         return 0
 
     lax.fori_loop(0, bt, per_box, 0)
@@ -310,30 +330,169 @@ def crop_and_resize_pallas(
     b, h, w, c = image.shape
     _, nb, _ = boxes.shape
     ch, cw = crop_size
+    # The level-map block must fit VMEM *twice* (Pallas double-buffers blocks
+    # whose index changes across grid steps): clamp the channel tile so
+    # H·W·ct·itemsize stays within budget, and raise the Mosaic VMEM limit
+    # explicitly — the default limit rejects multi-MB resident blocks.
+    itemsize = jnp.dtype(image.dtype).itemsize
+    vmem_budget = 8 * 1024 * 1024
+    max_ct = max(8, vmem_budget // (h * w * itemsize))
     ct = min(channel_tile, c)
+    while ct > max_ct or c % ct:
+        ct //= 2
+    ct = max(ct, 1)
     bt = min(box_tile, nb)
     assert c % ct == 0 and nb % bt == 0, (c, ct, nb, bt)
 
     kernel = functools.partial(
         _roi_align_kernel, crop_h=ch, crop_w=cw, extrap=extrapolation_value
     )
-    grid = (b, c // ct, nb // bt)
-    return pl.pallas_call(
+    groups = c // ct
+    # Pre-group channels so each block's lane dim is the full CT (TPU
+    # lowering requires the last block dim be full or 128-divisible).
+    img_g = image.reshape(b, h, w, groups, ct).transpose(0, 3, 1, 2, 4)
+    grid = (b, groups, nb // bt)
+    out_g = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bt, 4), lambda bi, ci, ni: (bi, ni, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w, ct), lambda bi, ci, ni: (bi, 0, 0, ci),
+            pl.BlockSpec((1, 1, h, w, ct), lambda bi, ci, ni: (bi, ci, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bt, ch, cw, ct), lambda bi, ci, ni: (bi, ni, 0, 0, ci),
+            (1, 1, bt, ch, cw, ct), lambda bi, ci, ni: (bi, ci, ni, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nb, ch, cw, c), image.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, groups, nb, ch, cw, ct),
+                                       image.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(boxes.reshape(b, nb, 4), image)
+    )(boxes.reshape(b, nb, 4), img_g)
+    return out_g.transpose(0, 2, 3, 4, 1, 5).reshape(b, nb, ch, cw, c)
+
+
+# ---------------------------------------------------------------------------
+# 3b. Vectorized two-matmul Pallas kernel (the fast path)
+# ---------------------------------------------------------------------------
+def _interp_matrix(c0, c1, crop, dim, dim_cols):
+    """Per-box 2-tap interpolation matrices, vectorized over the box tile.
+
+    c0, c1: [BT, 1] normalized start/end; returns [BT, crop, dim] f32 with
+    two taps per (box, sample) row and zeros for out-of-range samples.
+    """
+    bt = c0.shape[0]
+    d_f = float(dim)
+    samples = lax.broadcasted_iota(
+        jnp.int32, (1, crop, 1), 1).astype(jnp.float32)         # [1, crop, 1]
+    if crop > 1:
+        step = (c1 - c0) * (d_f - 1.0) / (crop - 1)             # [BT, 1]
+        pos = c0[:, :, None] * (d_f - 1.0) + samples * step[:, :, None]
+    else:
+        pos = (0.5 * (c0 + c1) * (d_f - 1.0))[:, :, None] + samples * 0.0
+    valid = (pos >= 0.0) & (pos <= d_f - 1.0)                   # [BT, crop, 1]
+    lo = jnp.floor(pos)
+    frac = pos - lo
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, dim - 1)
+    hi_i = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, dim - 1)
+    cols = lax.broadcasted_iota(jnp.int32, (1, 1, dim), 2)      # [1, 1, dim]
+    mat = ((cols == lo_i).astype(jnp.float32) * (1.0 - frac)
+           + (cols == hi_i).astype(jnp.float32) * frac)
+    return jnp.where(valid, mat, 0.0)                           # [BT, crop, dim]
+
+
+def _roi_align_matmul_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w):
+    """Fully vectorized: the y-interpolation is ONE [BT·ch, H] @ [H, W·CT]
+    MXU matmul, the x-interpolation a batched [BT] × ([cw, W] @ [W, ch·CT])
+    contraction. No per-box Python/fori loops — latency scales with two
+    matmuls instead of BT·ch sequential row reads.
+
+    boxes_ref: VMEM [1, BT, 4]; image_ref: VMEM [1, 1, H, W, CT];
+    out_ref: VMEM [1, 1, BT, ch, cw, CT]. extrapolation handled by zeroed
+    interpolation rows (extrapolation_value=0 — the only value the model
+    uses; nonzero values are handled by the XLA path).
+    """
+    _, _, h, w, ct = image_ref.shape
+    bt = boxes_ref.shape[1]
+
+    y1 = boxes_ref[0, :, 0:1]
+    x1 = boxes_ref[0, :, 1:2]
+    y2 = boxes_ref[0, :, 2:3]
+    x2 = boxes_ref[0, :, 3:4]
+
+    ymat = _interp_matrix(y1, y2, crop_h, h, h)                 # [BT, ch, H]
+    xmat = _interp_matrix(x1, x2, crop_w, w, w)                 # [BT, cw, W]
+
+    img = image_ref[0, 0].astype(jnp.float32).reshape(h, w * ct)
+    rows = jax.lax.dot_general(
+        ymat.reshape(bt * crop_h, h), img,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                           # [BT·ch, W·CT]
+    rows = rows.reshape(bt, crop_h, w, ct)
+
+    # batched contraction over W: [BT, cw, W] x [BT, ch, W, CT] -> [BT, cw, ch, CT]
+    out = jax.lax.dot_general(
+        xmat,
+        rows.transpose(0, 2, 1, 3).reshape(bt, w, crop_h * ct),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(bt, crop_w, crop_h, ct)
+    out_ref[0, 0] = out.transpose(0, 2, 1, 3).astype(out_ref.dtype)
+
+
+def crop_and_resize_pallas_mm(
+    image: jax.Array,
+    boxes: jax.Array,
+    crop_size: Tuple[int, int],
+    box_tile: int = 128,
+    channel_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Two-matmul Pallas RoIAlign. Same contract as crop_and_resize_pallas
+    (extrapolation fixed at 0)."""
+    b, h, w, c = image.shape
+    _, nb, _ = boxes.shape
+    ch, cw = crop_size
+    itemsize = jnp.dtype(image.dtype).itemsize
+    # image block + fp32 row intermediate [BT·ch, W·CT] must fit VMEM
+    vmem_budget = 24 * 1024 * 1024
+    ct = min(channel_tile, c)
+    bt = min(box_tile, nb)
+    while ct > 8 and (h * w * ct * itemsize > vmem_budget
+                      or bt * ch * w * ct * 4 > vmem_budget or c % ct):
+        ct //= 2
+    while bt > 8 and bt * ch * w * ct * 4 > vmem_budget:
+        bt //= 2
+    assert c % ct == 0 and nb % bt == 0, (c, ct, nb, bt)
+
+    kernel = functools.partial(_roi_align_matmul_kernel, crop_h=ch, crop_w=cw)
+    groups = c // ct
+    img_g = image.reshape(b, h, w, groups, ct).transpose(0, 3, 1, 2, 4)
+    out_g = pl.pallas_call(
+        kernel,
+        grid=(b, groups, nb // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, 4), lambda bi, ci, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w, ct), lambda bi, ci, ni: (bi, ci, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bt, ch, cw, ct), lambda bi, ci, ni: (bi, ci, ni, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, groups, nb, ch, cw, ct),
+                                       image.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(boxes.reshape(b, nb, 4), img_g)
+    return out_g.transpose(0, 2, 3, 4, 1, 5).reshape(b, nb, ch, cw, c)
 
 
 # Differentiable wrapper: Pallas forward, XLA-gather backward.
