@@ -10,7 +10,10 @@ setup.sh-era GPU), so vs_baseline = value / 2.5.
 
 Knobs (env): BENCH_BATCH (default 4), BENCH_ITERS (default 10),
 BENCH_IMAGE (default 1024), BENCH_BACKBONE (default resnet50),
-BENCH_DTYPE (default bfloat16).
+BENCH_DTYPE (default bfloat16), BENCH_MODE (inference|train).
+Train mode measures the full SPMD-ready train step (fwd+bwd+intertwiner
+buffer/meta+optimizer); its baseline is the reference's ~2 img/s/GPU
+training throughput.
 """
 
 import json
@@ -20,6 +23,69 @@ import time
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 2.5
+REFERENCE_TRAIN_IMAGES_PER_SEC = 2.0
+
+
+def bench_train(batch, iters, size, backbone, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.models import InterNet
+    from feature_intertwiner_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = build_config()
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.BUFFER_SIZE = 1
+    cfg.DEV.UPSAMPLE_FAC = 1.0
+    cfg.TRAIN.BATCH_SIZE = batch
+    cfg.MODEL.BACKBONE = backbone
+    cfg.finalize()
+    model = InterNet.from_config(cfg, dtype=dtype)
+
+    g = 100
+
+    @jax.jit
+    def make_batch(k):
+        images = jax.random.normal(k, (batch, size, size, 3), jnp.float32)
+        y1x1 = jax.random.uniform(jax.random.fold_in(k, 1), (batch, g, 2),
+                                  minval=0.0, maxval=size * 0.6)
+        wh = jax.random.uniform(jax.random.fold_in(k, 2), (batch, g, 2),
+                                minval=20.0, maxval=size * 0.4)
+        boxes = jnp.concatenate([y1x1, jnp.minimum(y1x1 + wh, size - 1.0)], -1)
+        cls = jax.random.randint(jax.random.fold_in(k, 3), (batch, g), 1, 81)
+        masks = (jax.random.uniform(jax.random.fold_in(k, 4),
+                                    (batch, g, 56, 56)) > 0.5).astype(jnp.float32)
+        return dict(images=images, gt_class_ids=cls, gt_boxes=boxes,
+                    gt_masks=masks)
+
+    data = make_batch(jax.random.PRNGKey(7))
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        data["images"][:1], mode="train",
+        gt_class_ids=data["gt_class_ids"][:1],
+        gt_boxes=data["gt_boxes"][:1], gt_masks=data["gt_masks"][:1]))()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, "all"))
+
+    state, metrics = step(state, data, jnp.float32(1e-3), jnp.float32(1.0),
+                          jax.random.PRNGKey(2))
+    float(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, data, jnp.float32(1e-3),
+                              jnp.float32(1.0), jax.random.PRNGKey(3 + i))
+        float(metrics["total_loss"])  # forced transfer = sync
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": f"train_step_images_per_sec_per_chip_{backbone}_{size}",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / REFERENCE_TRAIN_IMAGES_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -34,6 +100,8 @@ def main():
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
+    if os.environ.get("BENCH_MODE", "inference") == "train":
+        return bench_train(batch, iters, size, backbone, dtype)
 
     model = InterNet(
         backbone=backbone,
