@@ -86,9 +86,47 @@ class Dataset:
         return info["id"]
 
     # -- COCO ------------------------------------------------------------
+    @staticmethod
+    def auto_download(data_dir: str, split: str, year: str = "2014"):
+        """Download+unzip COCO images/annotations if missing (parity:
+        dataset_coco.py:190-259). Gated: zero-egress environments raise with
+        instructions instead of hanging."""
+        import urllib.request
+        import zipfile
+
+        urls = {
+            "images": f"http://images.cocodataset.org/zips/{split}{year}.zip",
+            "annotations": ("http://images.cocodataset.org/annotations/"
+                            f"annotations_trainval{year}.zip"),
+        }
+        img_dir = os.path.join(data_dir, f"{split}{year}")
+        ann_dir = os.path.join(data_dir, "annotations")
+        for name, url in urls.items():
+            target = img_dir if name == "images" else ann_dir
+            if os.path.exists(target):
+                continue
+            os.makedirs(data_dir, exist_ok=True)
+            zip_path = os.path.join(data_dir, os.path.basename(url))
+            try:
+                print(f"downloading {url} ...")
+                urllib.request.urlretrieve(url, zip_path)
+            except OSError as exc:
+                raise RuntimeError(
+                    f"auto_download failed ({exc}); this environment may "
+                    f"have no egress — place COCO manually under {data_dir} "
+                    f"or use data/synthetic.py") from exc
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(data_dir)
+            os.remove(zip_path)
+
     def load_coco(self, annotation_file: str, image_dir: str,
                   class_ids: Optional[List[int]] = None,
-                  return_coco: bool = False):
+                  return_coco: bool = False,
+                  auto_download: bool = False):
+        if auto_download:
+            split = os.path.basename(image_dir).rstrip("0123456789")
+            year = os.path.basename(image_dir)[len(split):]
+            self.auto_download(os.path.dirname(image_dir), split, year)
         coco = COCO(annotation_file)
         if class_ids:
             image_ids = []

@@ -151,9 +151,18 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
             from ..parallel import shard_batch
             device_batch = shard_batch(device_batch, trainer.mesh)
 
-        trainer.state, metrics = step_fn(
-            trainer.state, device_batch, jnp.float32(lr),
-            jnp.float32(meta_gate), sub)
+        try:
+            trainer.state, metrics = step_fn(
+                trainer.state, device_batch, jnp.float32(lr),
+                jnp.float32(meta_gate), sub)
+        except Exception as exc:
+            # crash surface + re-raise (parity: the visdom error panel,
+            # workflow.py:170-178); last state remains checkpointable
+            trainer.metrics_logger.log(
+                epoch=epoch, iter=it, error=f"{type(exc).__name__}: {exc}")
+            print_log(f"[ERROR] ep {epoch} iter {it}: {exc}",
+                      cfg.MISC.LOG_FILE)
+            raise
 
         if (it % cfg.CTRL.SHOW_INTERVAL == 0 or it == start_iter
                 or it == total_iter):
@@ -274,6 +283,15 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
                     dets[k], masks[k] if eval_masks else None,
                     orig_shape, windows[k], cfg)
                 coco_img_id = val_dataset.image_info[int(img_idx)]["id"]
+                if cfg.TEST.SAVE_IM:
+                    # prediction image dumps (parity: workflow.py:425-431)
+                    from ..utils.visualize import display_instances
+                    display_instances(
+                        images[k], boxes, class_ids,
+                        getattr(val_dataset, "class_names", None),
+                        scores=scores,
+                        save_path=os.path.join(
+                            folder, "images", f"det_{coco_img_id}.png"))
                 for j in range(len(class_ids)):
                     y1, x1, y2, x2 = boxes[j]
                     result = {
