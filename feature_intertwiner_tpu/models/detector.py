@@ -323,8 +323,14 @@ class InterNet(nn.Module):
         maps, _, _, proposals, _ = self._features_and_proposals(
             images, train=False, train_bn=False)
 
-        pooled_cls, _, feat_out = self.dev(maps, proposals, roi_gt=None,
-                                           train=False)
+        # the mask pooling of this call is only consumed by the critic, and
+        # the critic only when CLS_MERGE_FEAT mixes small features into the
+        # classifier (or in visualize mode for parity of dumped features)
+        need_small = (self.dev_switch and self.cls_merge_feat
+                      and self.dev_structure == "beta") or with_features
+        pooled_cls, _, feat_out = self.dev(
+            maps, proposals, roi_gt=None, train=False,
+            need_cls=True, need_mask=False, need_small=need_small)
         small_out = feat_out["small_out"] if feat_out else None
         small_gt = feat_out["small_gt"] if feat_out else None
         _, probs, bbox, cls_feat = self.classifier(pooled_cls, small_out, small_gt)
@@ -351,7 +357,9 @@ class InterNet(nn.Module):
 
         det_boxes = detections[..., :4] / jnp.array(
             [self.image_size] * 4, jnp.float32)
-        _, pooled_mask, _ = self.dev(maps, det_boxes, roi_gt=None, train=False)
+        _, pooled_mask, _ = self.dev(maps, det_boxes, roi_gt=None, train=False,
+                                     need_cls=False, need_mask=True,
+                                     need_small=False)
         masks = self.mask(pooled_mask)
         mh, mw = self.mask_shape
         masks = masks.reshape(b, self.det_max_instances, mh, mw, self.num_classes)

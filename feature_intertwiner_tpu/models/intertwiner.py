@@ -183,6 +183,9 @@ class Dev(nn.Module):
         roi_gt: Optional[jax.Array] = None,
         train: bool = False,
         train_bn: bool = False,
+        need_cls: bool = True,
+        need_mask: bool = True,
+        need_small: bool = True,
     ):
         """feats: [P2..P5] NHWC; rois [B, R, 4] normalized; roi_gt [B, R] int.
 
@@ -191,12 +194,20 @@ class Dev(nn.Module):
         small_feat, small_cnt, big_loss [S], small_out [B·R,1024],
         small_gt [B·R]); inference: dict(small_out, small_gt); None when
         the intertwiner is off.
+
+        ``need_cls`` / ``need_mask`` / ``need_small`` skip unused pooling and
+        critic work (static flags — e.g. the inference mask pass needs only
+        pooled_mask; the reference recomputes everything on both of its
+        ``dev_roi`` calls, lib/model.py:319,338). All branches still run
+        during init so the param tree is stable.
         """
         if self.use_dev and self.structure != "beta":
             raise NotImplementedError(
                 "Only structure='beta' exists (the reference's 'alpha' branch "
                 "is unimplemented and crashes there too — lib/model.py:424-425)"
             )
+        if self.is_initializing():
+            need_cls = need_mask = need_small = True
         b, r, _ = rois.shape
         flat_rois = rois.reshape(-1, 4)
         box_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
@@ -205,10 +216,10 @@ class Dev(nn.Module):
         if not self.use_dev:
             pooled_cls = multilevel_crop_and_resize(
                 feats, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
-                assign_base=self.assign_base)
+                assign_base=self.assign_base) if need_cls else None
             pooled_mask = multilevel_crop_and_resize(
                 feats, flat_rois, box_idx, (self.mask_pool_size,) * 2,
-                image_shape, assign_base=self.assign_base)
+                image_shape, assign_base=self.assign_base) if need_mask else None
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -229,29 +240,37 @@ class Dev(nn.Module):
             ups = [shared(f, train_bn) for f in feats]
 
         # --- pooled features for the heads (small path, upsampled maps) -----
+        need_pooled_mask = need_mask or (need_small and not self.baseline)
         level_idx = jnp.clip(lvl, 2, 5) - 2
+        pooled_cls = pooled_mask = None
         if self.roi_method == "roi_align":
-            pooled_cls = multilevel_crop_and_resize(
-                ups, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
-                level_idx=level_idx)
-            pooled_mask = multilevel_crop_and_resize(
-                ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
-                image_shape, level_idx=level_idx)
+            if need_cls:
+                pooled_cls = multilevel_crop_and_resize(
+                    ups, flat_rois, box_idx, (self.pool_size,) * 2,
+                    image_shape, level_idx=level_idx)
+            if need_pooled_mask:
+                pooled_mask = multilevel_crop_and_resize(
+                    ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
+                    image_shape, level_idx=level_idx)
         elif self.roi_method == "roi_pool":
-            pooled_cls = self._roi_pool_multilevel(
-                ups, flat_rois, box_idx, level_idx, self.pool_size)
-            pooled_mask = self._roi_pool_multilevel(
-                ups, flat_rois, box_idx, level_idx, self.mask_pool_size)
+            if need_cls:
+                pooled_cls = self._roi_pool_multilevel(
+                    ups, flat_rois, box_idx, level_idx, self.pool_size)
+            if need_pooled_mask:
+                pooled_mask = self._roi_pool_multilevel(
+                    ups, flat_rois, box_idx, level_idx, self.mask_pool_size)
         else:
             raise ValueError(self.roi_method)
 
         if self.assign_all_scale and train:
             # big-only RoIs (lvl==6) get no small pooled features in training
-            gate = (lvl <= 5)[:, None, None, None].astype(pooled_cls.dtype)
-            pooled_cls = pooled_cls * gate
-            pooled_mask = pooled_mask * gate
+            gate = (lvl <= 5)[:, None, None, None]
+            if pooled_cls is not None:
+                pooled_cls = pooled_cls * gate.astype(pooled_cls.dtype)
+            if pooled_mask is not None:
+                pooled_mask = pooled_mask * gate.astype(pooled_mask.dtype)
 
-        if self.baseline:
+        if self.baseline or not need_small:
             return pooled_cls, pooled_mask, None
 
         # --- critic on the shared 14² pooling (small path) -------------------

@@ -68,11 +68,15 @@ def _greedy_alive_sorted(
     plus_one: bool,
     strict: bool,
     block: int,
+    early_exit_count: int = 0,
 ) -> jax.Array:
     """Greedy-NMS survival mask for boxes already sorted by descending score.
 
     boxes: [N, 4] with N a multiple of ``block``; valid: [N] bool.
-    Returns alive: [N] bool (padding rows are False).
+    Returns alive: [N] bool (padding rows are False; with ``early_exit_count``
+    > 0, rows after the block containing the ``early_exit_count``-th survivor
+    may remain unresolved — exact for selecting the top-k survivors, since a
+    lower-scored box can never suppress a higher-scored one).
     """
     n = boxes.shape[0]
     num_blocks = n // block
@@ -112,11 +116,29 @@ def _greedy_alive_sorted(
 
         return lax.dynamic_update_slice(alive, a_final, (start,))
 
-    return lax.fori_loop(0, num_blocks, outer, valid & jnp.zeros_like(valid) | valid)
+    if early_exit_count <= 0:
+        return lax.fori_loop(0, num_blocks, outer, valid)
+
+    # Early termination: stop once the resolved prefix holds enough
+    # survivors — later (lower-scored) boxes cannot change them. BUT the
+    # unresolved tail must then be marked dead so it isn't selected.
+    def cond(state):
+        b, alive = state
+        resolved = positions < b * block
+        found = jnp.sum((alive & resolved).astype(jnp.int32))
+        return (b < num_blocks) & (found < early_exit_count)
+
+    def body(state):
+        b, alive = state
+        return b + 1, outer(b, alive)
+
+    b_end, alive = lax.while_loop(cond, body, (jnp.int32(0), valid))
+    return alive & (positions < b_end * block)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_output", "plus_one", "strict", "block")
+    jax.jit,
+    static_argnames=("max_output", "plus_one", "strict", "block", "early_exit"),
 )
 def nms(
     boxes: jax.Array,
@@ -126,7 +148,8 @@ def nms(
     valid: Optional[jax.Array] = None,
     plus_one: bool = True,
     strict: bool = True,
-    block: int = 256,
+    block: int = 512,
+    early_exit: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy NMS for one sample (vmap over a batch axis for batched use).
 
@@ -158,7 +181,8 @@ def nms(
         valid_sorted = jnp.pad(valid_sorted, (0, pad))
 
     alive = _greedy_alive_sorted(
-        boxes_sorted, valid_sorted, iou_threshold, plus_one, strict, block
+        boxes_sorted, valid_sorted, iou_threshold, plus_one, strict, block,
+        early_exit_count=max_output if early_exit else 0,
     )[:n]
 
     # Compact surviving sorted positions into [max_output] (score order).
