@@ -91,6 +91,7 @@ class InterNet(nn.Module):
     # quirk fidelity (SURVEY.md §3.5 #1)
     strict_quirks: bool = True
     # tpu
+    remat_backbone: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -138,6 +139,7 @@ class InterNet(nn.Module):
             cls_merge_manner=cfg.DEV.CLS_MERGE_MANNER,
             cls_merge_fac=cfg.DEV.CLS_MERGE_FAC,
             fpn_ot_loss=cfg.TRAIN.FPN_OT_LOSS,
+            remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
             dtype=dtype,
         )
 
@@ -154,7 +156,8 @@ class InterNet(nn.Module):
         )
 
     def setup(self):
-        self.resnet = ResNet(self.backbone, dtype=self.dtype, name="backbone")
+        self.resnet = ResNet(self.backbone, remat=self.remat_backbone,
+                             dtype=self.dtype, name="backbone")
         self.fpn = FPN(self.fpn_channels, fpn_ot_loss=self.fpn_ot_loss,
                        dtype=self.dtype, name="fpn")
         self.rpn = RPNHead(len(self.anchor_ratios), self.anchor_stride,

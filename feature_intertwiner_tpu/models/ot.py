@@ -38,29 +38,26 @@ class OptTrans2D(nn.Module):
     cost_form: str = "cosine"
     dtype: Any = jnp.float32
 
-    def _critic(self, z, train_bn):
-        ch = self.channels
-        z = conv(ch // 2, 3, strides=2, name="critic_conv1", dtype=self.dtype)(z)
-        z = BN(dtype=self.dtype, name="critic_bn1")(z, train_bn)
-        z = nn.relu(z)
-        z = conv(ch // 4, 3, strides=2, name="critic_conv2", dtype=self.dtype)(z)
-        z = BN(dtype=self.dtype, name="critic_bn2")(z, train_bn)
-        return nn.relu(z)
-
     @nn.compact
     def __call__(self, x, y, train_bn: bool = False) -> jax.Array:
-        stride = 2 if self.upsample else 1
-        if stride == 2:
-            xh = deconv(self.channels, 3, strides=2, name="g_deconv",
-                        dtype=self.dtype)(x)
-        else:
-            xh = deconv(self.channels, 3, strides=1, name="g_deconv",
-                        dtype=self.dtype)(x)
+        ch = self.channels
+        xh = deconv(ch, 3, strides=2 if self.upsample else 1, name="g_deconv",
+                    dtype=self.dtype)(x)
         xh = BN(dtype=self.dtype, name="g_bn")(xh, train_bn)
         xh = nn.relu(xh)
 
-        cx = self._critic(xh, train_bn)
-        cy = self._critic(y, train_bn)
+        # shared critic modules applied to both sets (OT_module.py:95-98)
+        c1 = conv(ch // 2, 3, strides=2, name="critic_conv1", dtype=self.dtype)
+        b1 = BN(dtype=self.dtype, name="critic_bn1")
+        c2 = conv(ch // 4, 3, strides=2, name="critic_conv2", dtype=self.dtype)
+        b2 = BN(dtype=self.dtype, name="critic_bn2")
+
+        def critic(z):
+            z = nn.relu(b1(c1(z), train_bn))
+            return nn.relu(b2(c2(z), train_bn))
+
+        cx = critic(xh)
+        cy = critic(y)
         b = cx.shape[0]
         # rows = channels, feature dim = flattened spatial (OT_module.py:95-98)
         cx = cx.reshape(b, -1, cx.shape[-1]).transpose(0, 2, 1)
@@ -81,23 +78,6 @@ class OptTrans1D(nn.Module):
     cost_form: str = "cosine"
     dtype: Any = jnp.float32
 
-    def _g(self, z):
-        # Conv1d(ch→ch, k3, pad 1) over a length-1 axis: with zero padding only
-        # the center tap sees data (OT_module.py:37-41). z: [n, 1, ch].
-        z = nn.Conv(self.channels, (3,), padding="SAME", name="g_conv",
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.xavier_uniform())(z)
-        return nn.relu(z)
-
-    def _critic(self, z):
-        if self.one_dim_form == "conv":
-            z = nn.Conv(self.channels // 4, (3,), padding="SAME",
-                        name="critic_conv", dtype=self.dtype,
-                        kernel_init=nn.initializers.xavier_uniform())(z)
-            return nn.relu(z)                          # [n, 1, ch//4]
-        return nn.Dense(self.channels // 8, name="critic_fc", dtype=self.dtype,
-                        kernel_init=nn.initializers.normal(0.01))(z)
-
     @nn.compact
     def __call__(self, x, y, row_weights: jax.Array = None) -> jax.Array:
         """x, y: [n, ch] (SMALL and BIG per-class vectors). Returns scalar.
@@ -111,9 +91,26 @@ class OptTrans1D(nn.Module):
         per-sample OT losses are excluded from the sum — the static-shape
         equivalent of the reference's dynamic class selection.
         """
-        xg = self._g(x[:, None, :])                    # [n, 1, ch]
-        cx = self._critic(xg)                          # [n, 1, ch//4 or //8]
-        cy = self._critic(y[:, None, :])
+        # Conv1d(ch→ch, k3, pad 1) over a length-1 axis: with zero padding
+        # only the center tap sees data (OT_module.py:37-41). The critic is
+        # a single shared module applied to both sets.
+        g_conv = nn.Conv(self.channels, (3,), padding="SAME", name="g_conv",
+                         dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_uniform())
+        if self.one_dim_form == "conv":
+            critic_mod = nn.Conv(self.channels // 4, (3,), padding="SAME",
+                                 name="critic_conv", dtype=self.dtype,
+                                 kernel_init=nn.initializers.xavier_uniform())
+            critic = lambda z: nn.relu(critic_mod(z))   # noqa: E731
+        else:
+            critic_mod = nn.Dense(self.channels // 8, name="critic_fc",
+                                  dtype=self.dtype,
+                                  kernel_init=nn.initializers.normal(0.01))
+            critic = critic_mod
+
+        xg = nn.relu(g_conv(x[:, None, :]))            # [n, 1, ch]
+        cx = critic(xg)                                # [n, 1, ch//4 or //8]
+        cy = critic(y[:, None, :])
         cx = cx.transpose(0, 2, 1)                     # [n, ch', 1]
         cy = cy.transpose(0, 2, 1)
         per_sample = sinkhorn_divergence(

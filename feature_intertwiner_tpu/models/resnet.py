@@ -62,14 +62,22 @@ class Stage(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns (c2, c3, c4, c5) feature maps at strides 4/8/16/32."""
+    """Returns (c2, c3, c4, c5) feature maps at strides 4/8/16/32.
+
+    ``remat=True`` checkpoints each stage (jax.checkpoint): activations are
+    recomputed in the backward pass, trading ~⅓ extra backbone FLOPs for the
+    memory to fit larger train batches (SURVEY.md §7 / TPU.REMAT_BACKBONE).
+    """
 
     architecture: str = "resnet101"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, train_bn: bool = False) -> Tuple:
         depths = STAGE_DEPTHS[self.architecture]
+        stage_cls = (nn.remat(Stage, static_argnums=(2,)) if self.remat
+                     else Stage)
         # C1 stem: 7x7/2 with torch-style pad 3, BN, ReLU, SAME 3x3/2 maxpool.
         x = conv(64, 7, strides=2, padding=((3, 3), (3, 3)), name="c1_conv",
                  dtype=self.dtype)(images)
@@ -77,8 +85,8 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
-        c2 = Stage(64, depths[0], stride=1, dtype=self.dtype, name="c2")(x, train_bn)
-        c3 = Stage(128, depths[1], stride=2, dtype=self.dtype, name="c3")(c2, train_bn)
-        c4 = Stage(256, depths[2], stride=2, dtype=self.dtype, name="c4")(c3, train_bn)
-        c5 = Stage(512, depths[3], stride=2, dtype=self.dtype, name="c5")(c4, train_bn)
+        c2 = stage_cls(64, depths[0], stride=1, dtype=self.dtype, name="c2")(x, train_bn)
+        c3 = stage_cls(128, depths[1], stride=2, dtype=self.dtype, name="c3")(c2, train_bn)
+        c4 = stage_cls(256, depths[2], stride=2, dtype=self.dtype, name="c4")(c3, train_bn)
+        c5 = stage_cls(512, depths[3], stride=2, dtype=self.dtype, name="c5")(c4, train_bn)
         return c2, c3, c4, c5
