@@ -186,6 +186,7 @@ def make_train_step(model, cfg, layers: str = "all",
     dis_reg = cfg.DEV.DIS_REG_LOSS
     clip_grad = cfg.TRAIN.CLIP_GRAD
     max_norm = cfg.TRAIN.MAX_GRAD_NORM
+    bn_learn = bool(cfg.TRAIN.BN_LEARN)
 
     def train_step(state: TrainState, batch, lr, meta_gate, rng):
         nonlocal tx
@@ -197,11 +198,24 @@ def make_train_step(model, cfg, layers: str = "all",
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out = model.apply(
-                variables, batch["images"], mode="train",
-                gt_class_ids=batch["gt_class_ids"],
-                gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
-                rngs={"sampling": rng})
+            new_stats = state.batch_stats
+            if bn_learn:
+                # BN learns batch statistics (TRAIN.BN_LEARN — the capability
+                # the reference gates at utils.py:478-481; its default quirk
+                # keeps BN frozen, SURVEY.md §3.5 #1)
+                out, mutated = model.apply(
+                    variables, batch["images"], mode="train",
+                    gt_class_ids=batch["gt_class_ids"],
+                    gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
+                    rngs={"sampling": rng}, train_bn=True,
+                    mutable=["batch_stats"])
+                new_stats = mutated["batch_stats"]
+            else:
+                out = model.apply(
+                    variables, batch["images"], mode="train",
+                    gt_class_ids=batch["gt_class_ids"],
+                    gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
+                    rngs={"sampling": rng})
 
             detailed = {
                 k: out[k] for k in (
@@ -237,9 +251,9 @@ def make_train_step(model, cfg, layers: str = "all",
 
             metrics = dict(detailed, total_loss=total, meta_loss=meta,
                            big_loss=big_loss, fpn_ot_loss=fpn_ot)
-            return total, (metrics, new_buf, new_cnt)
+            return total, (metrics, new_buf, new_cnt, new_stats)
 
-        grads, (metrics, new_buf, new_cnt) = jax.grad(
+        grads, (metrics, new_buf, new_cnt, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -257,6 +271,7 @@ def make_train_step(model, cfg, layers: str = "all",
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
+            batch_stats=jax.lax.stop_gradient(new_stats),
             opt_state=new_opt,
             buffer=jax.lax.stop_gradient(new_buf),
             buffer_cnt=jax.lax.stop_gradient(new_cnt),

@@ -112,3 +112,25 @@ def test_cls_merge_feat_variant():
         gt_masks=gt_masks)
     out = model.apply(variables, images, mode="inference", windows=windows)
     assert np.isfinite(np.asarray(out["detections"])).all()
+
+
+@pytest.mark.slow
+def test_bn_learn_updates_batch_stats():
+    model = tiny_model()
+    cfg = _cfg(**{"TRAIN.BN_LEARN": True})
+    rng = np.random.RandomState(6)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images, mode="train", gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+        gt_masks=gt_masks)
+    batch = dict(images=images, gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+                 gt_masks=gt_masks)
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, layers="all"))
+    s1, m = step(state, batch, jnp.float32(1e-3), jnp.float32(1.0),
+                 jax.random.PRNGKey(2))
+    before = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    after = jax.tree_util.tree_leaves(s1.batch_stats)[0]
+    assert float(jnp.abs(after - before).max()) > 0, "BN stats must update"
+    assert np.isfinite(m["total_loss"])
