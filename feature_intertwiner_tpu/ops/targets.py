@@ -40,8 +40,11 @@ def _random_topk_mask(key, eligible: jax.Array, k: int) -> Tuple[jax.Array, jax.
     Returns (idx [k] int32, valid [k] bool). Deterministic given key.
     """
     scores = jnp.where(eligible, jax.random.uniform(key, eligible.shape), -1.0)
-    _, idx = jax.lax.top_k(scores, k)
-    count = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)), k)
+    k_eff = min(k, eligible.shape[0])
+    _, idx = jax.lax.top_k(scores, k_eff)
+    if k_eff < k:  # fewer candidates than the static budget: pad
+        idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
+    count = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)), k_eff)
     valid = jnp.arange(k) < count
     return idx.astype(jnp.int32), valid
 
