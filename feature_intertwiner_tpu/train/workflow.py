@@ -66,6 +66,13 @@ class Trainer:
 
     def resume(self):
         folder = self.cfg.MISC.RESULT_FOLDER
+        # DEV.BIG_FC_INIT='coco_pretrain': seed big_fc from the classifier
+        # head (cross-name copy, tools/utils.py:455-471)
+        if self.cfg.DEV.SWITCH and self.cfg.DEV.get("BIG_FC_INIT_LIST"):
+            from ..utils.convert_weights import apply_cross_name_init
+            self.state = self.state.replace(params=apply_cross_name_init(
+                self.state.params, self.cfg.DEV.BIG_FC_INIT_LIST,
+                log_fn=lambda m: print_log(m, self.cfg.MISC.LOG_FILE)))
         path = ckpt.resolve_init(self.cfg, folder)
         if path and ckpt.CKPT_RE.match(os.path.basename(path)):
             self.state, epoch, it = ckpt.restore_checkpoint(path, self.state)

@@ -282,6 +282,30 @@ def merge_pretrained(params: dict, batch_stats: dict,
             overlay(batch_stats, loaded_stats, "batch_stats"))
 
 
+def apply_cross_name_init(params: dict, init_list: Dict[str, str],
+                          log_fn=print) -> dict:
+    """Copy weights between differently-named leaves of one tree.
+
+    Parity with ``_load_state_dict_anyway`` + ``DEV.BIG_FC_INIT_LIST``
+    (tools/utils.py:455-471, lib/config.py:358-363): e.g. seed
+    ``dev/big_fc`` from ``classifier/linear_class``. Mapping entries are
+    '/'-joined param paths {target: source}; shape-mismatched copies skip.
+    """
+    flat = traverse_util.flatten_dict(params)
+    flat = {"/".join(k): v for k, v in flat.items()}
+    for dst, src in (init_list or {}).items():
+        if src not in flat or dst not in flat:
+            log_fn(f"[cross-init] skip {dst} <- {src} (missing)")
+            continue
+        if np.asarray(flat[src]).shape != np.asarray(flat[dst]).shape:
+            log_fn(f"[cross-init] skip {dst} <- {src} (shape mismatch)")
+            continue
+        flat[dst] = flat[src]
+        log_fn(f"[cross-init] {dst} <- {src}")
+    return traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()})
+
+
 def _cli():
     """CLI (parity: tools/convert_from_keras.py is a conversion CLI)::
 

@@ -103,3 +103,22 @@ def test_merge_pretrained_overlay_reports():
     assert (flat["extra/leaf"] == 0).all()          # missing stays init
     assert (flat["fpn/p5_lateral/kernel"] == 0).all()  # mismatch stays init
     assert any("shape-mismatch 1" in l for l in logs)
+
+
+def test_apply_cross_name_init():
+    from feature_intertwiner_tpu.utils.convert_weights import (
+        apply_cross_name_init)
+    params = {
+        "classifier": {"linear_class": {"kernel": np.ones((4, 3)),
+                                        "bias": np.ones(3)}},
+        "dev": {"big_fc": {"kernel": np.zeros((4, 3)),
+                           "bias": np.zeros(3)}},
+    }
+    out = apply_cross_name_init(params, {
+        "dev/big_fc/kernel": "classifier/linear_class/kernel",
+        "dev/big_fc/bias": "classifier/linear_class/bias",
+        "dev/missing/x": "classifier/linear_class/bias",
+    }, log_fn=lambda m: None)
+    np.testing.assert_array_equal(out["dev"]["big_fc"]["kernel"],
+                                  np.ones((4, 3)))
+    np.testing.assert_array_equal(out["dev"]["big_fc"]["bias"], np.ones(3))
