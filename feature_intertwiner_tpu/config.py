@@ -105,6 +105,11 @@ def _default_tree() -> AttrDict:
     cfg.DATA = AttrDict(
         IMAGE_MIN_DIM=800,
         IMAGE_MAX_DIM=1024,
+        # Multi-scale training (the reference's "+1.5x training, multi-scale"
+        # 44.2-AP recipe, README.md:70): when non-empty, each train sample
+        # randomly picks its IMAGE_MIN_DIM from this list; the padded canvas
+        # stays IMAGE_MAX_DIM so batch shapes remain static.
+        MULTISCALE_MIN_DIMS=[],
         IMAGE_PADDING=True,
         MEAN_PIXEL=np.array([123.7, 116.8, 103.9]),
         MAX_GT_INSTANCES=100,

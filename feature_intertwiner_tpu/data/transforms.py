@@ -146,8 +146,12 @@ def load_image_and_gt(dataset, config, image_id: int, augment: bool = False,
     rng = rng or np.random
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
+    min_dim = config.DATA.IMAGE_MIN_DIM
+    scales = list(config.DATA.get("MULTISCALE_MIN_DIMS", []) or [])
+    if augment and scales:
+        min_dim = int(scales[rng.randint(0, len(scales))])
     image, window, scale, pad_spec = resize_image(
-        image, min_dim=config.DATA.IMAGE_MIN_DIM,
+        image, min_dim=min_dim,
         max_dim=config.DATA.IMAGE_MAX_DIM, padding=config.DATA.IMAGE_PADDING)
     mask = resize_mask(mask, scale, pad_spec)
 

@@ -108,3 +108,19 @@ def test_fixed_shape_samples_and_loader(coco_root):
     # all batches in an epoch
     n = sum(1 for _ in loader)
     assert n == len(loader) == 3
+
+
+def test_multiscale_training_min_dims(coco_root):
+    cfg = _small_cfg()
+    cfg.DATA.MULTISCALE_MIN_DIMS = [256, 320, 384]
+    loader, _, _ = get_data(cfg, data_root=coco_root)
+    ds = loader.dataset
+    # samples still land on the fixed padded canvas
+    seen_windows = set()
+    for i in range(4):
+        s = ds[i % len(ds)]
+        assert s["images"].shape == (512, 512, 3)
+        w = tuple(np.asarray(s["image_meta"][4:8], np.int32).tolist())
+        seen_windows.add(w)
+    # with several scales the (resized) content windows should vary
+    assert len(seen_windows) >= 2
