@@ -103,25 +103,38 @@ class COCOeval:
         dm = np.zeros((t, len(dts)), np.int64) - 1       # matched gt index
         d_ignore = np.zeros((t, len(dts)), bool)
 
-        for ti, thr in enumerate(self.params.iou_thrs):
+        # Greedy matching vectorized over IoU thresholds: per detection (in
+        # score order) each threshold row independently picks the best
+        # available gt — unignored gts preferred, max IoU wins, ties to the
+        # later gt (the reference loop's >= update).
+        if len(gts):
+            thrs = np.minimum(self.params.iou_thrs, 1 - 1e-10)[:, None]  # [T,1]
+            g = len(gts)
+            t_idx = np.arange(t)
+
+            def last_argmax(values, mask):
+                """per-row argmax over masked values, ties -> last index."""
+                masked = np.where(mask, values, -np.inf)
+                rev = masked[:, ::-1]
+                idx = g - 1 - np.argmax(rev, axis=1)
+                ok = np.isfinite(np.max(masked, axis=1))
+                return idx, ok
+
             for di in range(len(dts)):
-                best = min(thr, 1 - 1e-10)
-                match = -1
-                for gi in range(len(gts)):
-                    if gm[ti, gi] >= 0 and not crowd[gi]:
-                        continue
-                    # gts are sorted unignored-first: once a real match exists
-                    # and the remaining gts are ignored, stop searching
-                    if match > -1 and not g_ignore[match] and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    match = gi
-                if match >= 0:
-                    dm[ti, di] = match
-                    gm[ti, match] = di
-                    d_ignore[ti, di] = g_ignore[match]
+                iou_row = ious[di][None, :]                      # [1, G]
+                avail = (gm < 0) | crowd[None, :]
+                above = iou_row >= thrs
+                cand_un = avail & above & ~g_ignore[None, :]
+                cand_ig = avail & above & g_ignore[None, :]
+                idx_un, ok_un = last_argmax(np.broadcast_to(iou_row, (t, g)),
+                                            cand_un)
+                idx_ig, ok_ig = last_argmax(np.broadcast_to(iou_row, (t, g)),
+                                            cand_ig)
+                match = np.where(ok_un, idx_un, np.where(ok_ig, idx_ig, -1))
+                matched = match >= 0
+                dm[matched, di] = match[matched]
+                gm[t_idx[matched], match[matched]] = di
+                d_ignore[matched, di] = g_ignore[match[matched]]
 
         # unmatched dts outside the area range are ignored
         d_area_ignore = np.array([

@@ -165,3 +165,82 @@ def test_cocoeval_segm(tmp_path):
     ev.accumulate()
     stats = ev.summarize()
     assert stats[0] > 0.5  # near-perfect modulo polygon-vs-box rasterization
+
+
+def test_matching_vectorized_vs_loop_oracle():
+    """Randomized differential test of COCOeval's greedy matcher against a
+    direct transcription of the sequential rules (crowds reusable, unignored
+    preferred, max IoU, ties to the later gt)."""
+    from feature_intertwiner_tpu.evaluation.cocoeval import COCOeval, Params
+
+    rng = np.random.RandomState(0)
+    for trial in range(30):
+        d, g = rng.randint(1, 12), rng.randint(0, 9)
+        ious = np.round(rng.rand(d, g) * rng.choice([1, 1, 0.8]), 2)
+        g_ignore = rng.rand(g) < 0.3
+        crowd = (rng.rand(g) < 0.25) & g_ignore
+        thrs = np.linspace(0.5, 0.95, 10)
+        t = len(thrs)
+
+        # oracle: sequential triple loop
+        gm_o = -np.ones((t, g), np.int64)
+        dm_o = -np.ones((t, d), np.int64)
+        dig_o = np.zeros((t, d), bool)
+        for ti, thr in enumerate(np.minimum(thrs, 1 - 1e-10)):
+            for di in range(d):
+                best, match = thr, -1
+                for gi in range(g):
+                    if gm_o[ti, gi] >= 0 and not crowd[gi]:
+                        continue
+                    if match > -1 and not g_ignore[match] and g_ignore[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best, match = ious[di, gi], gi
+                if match >= 0:
+                    dm_o[ti, di] = match
+                    gm_o[ti, match] = di
+                    dig_o[ti, di] = g_ignore[match]
+
+        # vectorized path via a minimal COCOeval instance
+        ev = COCOeval.__new__(COCOeval)
+        ev.params = Params("bbox")
+        gts = [{"iscrowd": int(crowd[i]), "ignore": int(g_ignore[i] and not crowd[i]),
+                "area": 50.0, "bbox": [0, 0, 5, 10]} for i in range(g)]
+        dts = [{"score": 1.0 - 0.01 * i, "bbox": [0, 0, 5, 10]}
+               for i in range(d)]
+        ev._gts = {(0, 1): gts}
+        ev._dts = {(0, 1): dts}
+        ev._ious = {(0, 1): ious}
+        out = ev._evaluate_img(0, 1, [0, 1e10], 100)
+        # gts are pre-sorted unignored-first inside _evaluate_img; build the
+        # same permutation to compare
+        order = np.argsort(g_ignore, kind="stable")
+        iou_perm = ious[:, order]
+        gi_perm = g_ignore[order]
+        # recompute oracle on the permuted layout (what _evaluate_img sees)
+        gm_p = -np.ones((t, g), np.int64)
+        dm_p = -np.ones((t, d), np.int64)
+        dig_p = np.zeros((t, d), bool)
+        crowd_p = crowd[order]
+        for ti, thr in enumerate(np.minimum(thrs, 1 - 1e-10)):
+            for di in range(d):
+                best, match = thr, -1
+                for gi in range(g):
+                    if gm_p[ti, gi] >= 0 and not crowd_p[gi]:
+                        continue
+                    if match > -1 and not gi_perm[match] and gi_perm[gi]:
+                        break
+                    if iou_perm[di, gi] < best:
+                        continue
+                    best, match = iou_perm[di, gi], gi
+                if match >= 0:
+                    dm_p[ti, di] = match
+                    gm_p[ti, match] = di
+                    dig_p[ti, di] = gi_perm[match]
+        np.testing.assert_array_equal(out["dt_matches"], dm_p,
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(
+            out["dt_ignore"],
+            dig_p | ((dm_p == -1) & np.zeros((1, d), bool)),
+            err_msg=f"trial {trial}")
