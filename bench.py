@@ -94,8 +94,8 @@ def main():
 
     from feature_intertwiner_tpu.models import InterNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     size = int(os.environ.get("BENCH_IMAGE", "1024"))
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[
