@@ -17,7 +17,7 @@ statistics (the BN_LEARN=True capability).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

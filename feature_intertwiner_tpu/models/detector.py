@@ -20,7 +20,7 @@ Reference quirks (SURVEY.md §3.5) handled explicitly:
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ training schedule ("heads" → "4+" → "all") can freeze by path prefix.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

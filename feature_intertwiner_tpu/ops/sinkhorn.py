@@ -16,7 +16,6 @@ updates a ``lax.scan`` — one fused compiled loop of [n,n] matmuls on the MXU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,14 +13,14 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 from flax import serialization
 
-from .step import TrainState, init_buffer
+from .step import TrainState
 
 CKPT_RE = re.compile(r"ckpt_ep(\d+)_iter(\d+)$")
 

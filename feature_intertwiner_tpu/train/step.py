@@ -23,7 +23,6 @@ entirely when no small statistics exist this step.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
