@@ -160,14 +160,9 @@ _KERAS_BLOCK_LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _keras_block_name(stage: int, block: int, blocks_in_stage: int) -> str:
-    # resnet101 keras names use 'a', 'b', ... for short stages and
-    # 'a', 'b1', 'b2', ... for the 23-block stage 4
-    if blocks_in_stage <= 3 or True:
-        if block == 0:
-            return "a"
-        if blocks_in_stage > 8:
-            return f"b{block}" if block > 0 else "a"
-        return _KERAS_BLOCK_LETTERS[block]
+    # keras resnet block suffixes are letters 'a', 'b', 'c', ... for every
+    # stage, including the 23-block resnet101 stage 4 ('a'..'w') — confirmed
+    # against the reference converter (convert_from_keras.py:79-83).
     return _KERAS_BLOCK_LETTERS[block]
 
 

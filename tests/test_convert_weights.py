@@ -122,3 +122,75 @@ def test_apply_cross_name_init():
     np.testing.assert_array_equal(out["dev"]["big_fc"]["kernel"],
                                   np.ones((4, 3)))
     np.testing.assert_array_equal(out["dev"]["big_fc"]["bias"], np.ones(3))
+
+
+def test_convert_keras_h5_roundtrip(tmp_path):
+    """Build a synthetic Matterport-style h5 and convert it."""
+    import h5py
+    from feature_intertwiner_tpu.utils.convert_weights import (
+        BOTTLENECKS, _keras_block_name, convert_keras_h5)
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "keras.h5")
+    widths = {2: 64, 3: 128, 4: 256, 5: 512}
+
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+
+        def conv(name, kh, kw, ci, co):
+            grp = g.create_group(name).create_group(name)
+            grp["kernel:0"] = rng.randn(kh, kw, ci, co).astype(np.float32)
+            grp["bias:0"] = rng.randn(co).astype(np.float32)
+
+        def bn(name, c):
+            grp = g.create_group(name).create_group(name)
+            grp["gamma:0"] = rng.rand(c).astype(np.float32)
+            grp["beta:0"] = rng.randn(c).astype(np.float32)
+            grp["moving_mean:0"] = rng.randn(c).astype(np.float32)
+            grp["moving_variance:0"] = rng.rand(c).astype(np.float32)
+
+        conv("conv1", 7, 7, 3, 64)
+        bn("bn_conv1", 64)
+        cin = 64
+        for stage, blocks in zip((2, 3, 4, 5), BOTTLENECKS["resnet50"]):
+            w = widths[stage]
+            for b in range(blocks):
+                letter = _keras_block_name(stage, b, blocks)
+                conv(f"res{stage}{letter}_branch2a", 1, 1, cin if b == 0 else w * 4, w)
+                bn(f"bn{stage}{letter}_branch2a", w)
+                conv(f"res{stage}{letter}_branch2b", 3, 3, w, w)
+                bn(f"bn{stage}{letter}_branch2b", w)
+                conv(f"res{stage}{letter}_branch2c", 1, 1, w, w * 4)
+                bn(f"bn{stage}{letter}_branch2c", w * 4)
+                if b == 0:
+                    conv(f"res{stage}{letter}_branch1", 1, 1, cin, w * 4)
+                    bn(f"bn{stage}{letter}_branch1", w * 4)
+            cin = w * 4
+        for lvl, ci in ((5, 2048), (4, 1024), (3, 512), (2, 256)):
+            conv(f"fpn_c{lvl}p{lvl}", 1, 1, ci, 256)
+            conv(f"fpn_p{lvl}", 3, 3, 256, 256)
+        conv("rpn_conv_shared", 3, 3, 256, 512)
+        conv("rpn_class_raw", 1, 1, 512, 6)
+        conv("rpn_bbox_pred", 1, 1, 512, 12)
+        conv("mrcnn_class_conv1", 7, 7, 256, 1024)
+        bn("mrcnn_class_bn1", 1024)
+        conv("mrcnn_class_conv2", 1, 1, 1024, 1024)
+        bn("mrcnn_class_bn2", 1024)
+        conv("mrcnn_class_logits", 1, 1, 1024, 81)  # keras dense as conv here
+        conv("mrcnn_bbox_fc", 1, 1, 1024, 324)
+        for i in range(1, 5):
+            conv(f"mrcnn_mask_conv{i}", 3, 3, 256, 256)
+            bn(f"mrcnn_mask_bn{i}", 256)
+        conv("mrcnn_mask_deconv", 2, 2, 256, 256)
+        conv("mrcnn_mask", 1, 1, 256, 81)
+
+    params, stats = convert_keras_h5(path, "resnet50")
+    from flax import traverse_util
+    p = {"/".join(k): v for k, v in traverse_util.flatten_dict(params).items()}
+    s = {"/".join(k): v for k, v in traverse_util.flatten_dict(stats).items()}
+    assert p["backbone/c1_conv/kernel"].shape == (7, 7, 3, 64)
+    assert p["backbone/c4/block5/conv2/kernel"].shape == (3, 3, 256, 256)
+    assert p["backbone/c5/block0/proj_conv/kernel"].shape == (1, 1, 1024, 2048)
+    assert s["backbone/c3/block2/bn3/BatchNorm_0/var"].shape == (512,)
+    assert p["fpn/p2_lateral/kernel"].shape == (1, 1, 256, 256)
+    assert p["mask/upsample/kernel"].shape == (2, 2, 256, 256)
