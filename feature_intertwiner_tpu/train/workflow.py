@@ -269,7 +269,10 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
 
         results = []
         t0 = time.time()
-        for start in range(0, len(image_ids), bs):
+
+        def prepare(start):
+            """Host-side load+mold for one chunk (runs in a worker thread,
+            overlapping with device inference on the previous chunk)."""
             chunk = image_ids[start:start + bs]
             images = [val_dataset.load_image(int(i)) for i in chunk]
             pad = bs - len(images)
@@ -279,6 +282,16 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
                     [molded, np.zeros_like(molded[:1]).repeat(pad, 0)])
                 windows = np.concatenate(
                     [windows, windows[:1].repeat(pad, 0)])
+            return chunk, images, molded, windows
+
+        import concurrent.futures as cf
+        pool = cf.ThreadPoolExecutor(max_workers=1)
+        starts = list(range(0, len(image_ids), bs))
+        pending = pool.submit(prepare, starts[0]) if starts else None
+        for si, start in enumerate(starts):
+            chunk, images, molded, windows = pending.result()
+            pending = (pool.submit(prepare, starts[si + 1])
+                       if si + 1 < len(starts) else None)
             out = jax.device_get(infer(
                 variables, jnp.asarray(molded), jnp.asarray(windows)))
             dets = np.asarray(out["detections"], np.float32)
@@ -313,6 +326,7 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
                         result["segmentation"] = RLE.encode(
                             full_masks[j]).to_coco()
                     results.append(result)
+        pool.shutdown(wait=False)
         dt = time.time() - t0
         print_log(
             f"prediction time: {dt:.2f}s "
