@@ -231,8 +231,10 @@ def _default_tree() -> AttrDict:
         COMPUTE_DTYPE="bfloat16",
         # Params/state dtype.
         PARAM_DTYPE="float32",
-        # Use the Pallas RoIAlign/NMS kernels (False = pure-XLA reference path).
-        USE_PALLAS=True,
+        # Reserved: opt into the experimental Pallas RoIAlign/NMS kernels
+        # (ops/roi_align.py, ops/nms_pallas.py). The tuned XLA formulations
+        # are the default compute path and match or beat them on v5e.
+        USE_PALLAS=False,
         # Static padded shapes (everything under jit must be fixed-shape).
         MAX_PRE_NMS=6000,          # == RPN.PRE_NMS_LIMIT
         # Rematerialization of the backbone during training.

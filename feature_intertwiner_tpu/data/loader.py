@@ -55,6 +55,7 @@ class PrefetchLoader:
         for bi, idxs in enumerate(batches):
             task_q.put((bi, idxs))
         results = {}
+        errors = []
         lock = threading.Lock()
         stop_event = threading.Event()
 
@@ -64,11 +65,17 @@ class PrefetchLoader:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[int(i)] for i in idxs]
-                batch = {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]
-                }
+                try:
+                    samples = [self.dataset[int(i)] for i in idxs]
+                    batch = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
+                except Exception as exc:  # propagate instead of hanging
+                    with lock:
+                        errors.append(exc)
+                    stop_event.set()
+                    return
                 with lock:
                     results[bi] = batch
 
@@ -82,6 +89,8 @@ class PrefetchLoader:
             import time
             while next_bi < len(batches):
                 with lock:
+                    if errors:
+                        raise errors[0]
                     batch = results.pop(next_bi, None)
                 if batch is None:
                     time.sleep(0.002)

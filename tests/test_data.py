@@ -124,3 +124,19 @@ def test_multiscale_training_min_dims(coco_root):
         seen_windows.add(w)
     # with several scales the (resized) content windows should vary
     assert len(seen_windows) >= 2
+
+
+def test_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros(3)}
+
+    loader = PrefetchLoader(Bad(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass
