@@ -131,6 +131,15 @@ def _default_tree() -> AttrDict:
         DET_MIN_CONFIDENCE=0.0,
         DET_NMS_THRESHOLD=0.3,
         SAVE_IM=False,
+        # Eval compute dtype ('' = inherit TPU.COMPUTE_DTYPE). 'float32'
+        # gives an fp32 eval pass over bf16-trained params (numerics audit).
+        DTYPE="",
+        # Multi-scale testing: list of IMAGE_MAX_DIM values (e.g.
+        # [800, 1024, 1280]); detections from all scales are fused per class
+        # with NMS in original-image coordinates. Empty = single scale.
+        # (The reference's multi-scale 44.2-AP row, README.md:70.)
+        MULTI_SCALE=[],
+        MULTI_SCALE_NMS_THRESHOLD=0.5,
     )
 
     cfg.TRAIN = AttrDict(
@@ -385,6 +394,12 @@ class Config:
                 "dev/big_fc/kernel": "classifier/linear_class/kernel",
                 "dev/big_fc/bias": "classifier/linear_class/bias",
             }
+
+        for key, val in (("TPU.COMPUTE_DTYPE", c.TPU.COMPUTE_DTYPE),
+                         ("TEST.DTYPE", c.TEST.DTYPE)):
+            if val not in ("", "bfloat16", "float32"):
+                raise ValueError(
+                    f"{key} must be 'bfloat16' or 'float32', got {val!r}")
 
         c.TPU.MAX_PRE_NMS = int(c.RPN.PRE_NMS_LIMIT)
         self._finalized = True

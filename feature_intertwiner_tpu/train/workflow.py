@@ -193,14 +193,16 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------
-def mold_inputs(images, cfg):
+def mold_inputs(images, cfg, min_dim=None, max_dim=None):
     """Per-image resize/pad/normalize -> (molded [B,S,S,3], metas, windows).
-    Parity: _mold_inputs (workflow.py:476-520)."""
+    Parity: _mold_inputs (workflow.py:476-520). ``min_dim``/``max_dim``
+    override the config scale (multi-scale testing)."""
     molded, metas, windows = [], [], []
     for img in images:
         m, window, scale, _ = T.resize_image(
-            img, min_dim=cfg.DATA.IMAGE_MIN_DIM,
-            max_dim=cfg.DATA.IMAGE_MAX_DIM, padding=cfg.DATA.IMAGE_PADDING)
+            img, min_dim=min_dim or cfg.DATA.IMAGE_MIN_DIM,
+            max_dim=max_dim or cfg.DATA.IMAGE_MAX_DIM,
+            padding=cfg.DATA.IMAGE_PADDING)
         molded.append(m.astype(np.float32)
                       - np.asarray(cfg.DATA.MEAN_PIXEL, np.float32))
         metas.append(T.compose_image_meta(
@@ -240,6 +242,95 @@ def unmold_detections(detections, masks, original_shape, window, cfg):
     return boxes, class_ids, scores, full_masks
 
 
+def _np_greedy_nms(boxes, scores, thresh):
+    """Host-side greedy NMS over (y1,x1,y2,x2) boxes -> keep indices.
+
+    Used only for cross-scale detection fusion (off the device hot path)."""
+    order = np.argsort(-scores, kind="stable")
+    areas = (np.maximum(boxes[:, 2] - boxes[:, 0], 0)
+             * np.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        yy1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        xx1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        yy2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        xx2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(yy2 - yy1, 0) * np.maximum(xx2 - xx1, 0)
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        suppressed |= iou > thresh
+    return np.asarray(keep, np.int64)
+
+
+def fuse_multiscale(per_scale, max_instances, thresh):
+    """Fuse one image's detections from several test scales.
+
+    ``per_scale``: list of (boxes, class_ids, scores, full_masks) tuples, all
+    in original-image coordinates. Per-class greedy NMS across scales, then
+    top-``max_instances`` by score."""
+    boxes = np.concatenate([p[0] for p in per_scale]).astype(np.float32)
+    cls = np.concatenate([p[1] for p in per_scale])
+    scores = np.concatenate([p[2] for p in per_scale])
+    masks = [m for p in per_scale for m in p[3]]
+    keep_all = []
+    for c in np.unique(cls):
+        idx = np.where(cls == c)[0]
+        keep_all.extend(idx[_np_greedy_nms(boxes[idx], scores[idx], thresh)])
+    keep = sorted(keep_all, key=lambda i: -scores[i])[:max_instances]
+    keep = np.asarray(keep, np.int64)
+    return (boxes[keep].astype(np.int32), cls[keep], scores[keep],
+            [masks[i] for i in keep])
+
+
+def _detect_images(model, variables, cfg, val_dataset, image_ids,
+                   eval_masks, min_dim=None, max_dim=None):
+    """Chunked jitted inference at one scale; host-side image loading/molding
+    runs on a worker thread, overlapped with device inference on the previous
+    chunk. Yields (img_idx, image, boxes, class_ids, scores, full_masks) in
+    original-image coordinates."""
+    bs = max(1, cfg.TEST.BATCH_SIZE)
+
+    @jax.jit
+    def infer(v, im, win):
+        return model.apply(v, im, mode="inference", windows=win)
+
+    def prepare(start):
+        chunk = image_ids[start:start + bs]
+        images = [val_dataset.load_image(int(i)) for i in chunk]
+        pad = bs - len(images)
+        molded, metas, windows = mold_inputs(images, cfg, min_dim, max_dim)
+        if pad:
+            molded = np.concatenate(
+                [molded, np.zeros_like(molded[:1]).repeat(pad, 0)])
+            windows = np.concatenate([windows, windows[:1].repeat(pad, 0)])
+        return chunk, images, molded, windows
+
+    import concurrent.futures as cf
+    pool = cf.ThreadPoolExecutor(max_workers=1)
+    starts = list(range(0, len(image_ids), bs))
+    pending = pool.submit(prepare, starts[0]) if starts else None
+    try:
+        for si, start in enumerate(starts):
+            chunk, images, molded, windows = pending.result()
+            pending = (pool.submit(prepare, starts[si + 1])
+                       if si + 1 < len(starts) else None)
+            out = jax.device_get(infer(
+                variables, jnp.asarray(molded), jnp.asarray(windows)))
+            dets = np.asarray(out["detections"], np.float32)
+            masks = np.asarray(out["masks"], np.float32)
+            for k, img_idx in enumerate(chunk):
+                boxes, class_ids, scores, full_masks = unmold_detections(
+                    dets[k], masks[k] if eval_masks else None,
+                    images[k].shape, windows[k], cfg)
+                yield (img_idx, images[k], boxes, class_ids, scores,
+                       full_masks)
+    finally:
+        pool.shutdown(wait=False)
+
+
 def test_model(model, variables, cfg, val_dataset, coco_api,
                during_train: bool = False, epoch: int = 0,
                limit: Optional[int] = None, eval_masks: bool = False):
@@ -261,72 +352,56 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
         with open(cache) as f:
             results = json.load(f)
     else:
-        bs = max(1, cfg.TEST.BATCH_SIZE)
-
-        @jax.jit
-        def infer(v, im, win):
-            return model.apply(v, im, mode="inference", windows=win)
+        t0 = time.time()
+        scales = [int(s) for s in (cfg.TEST.MULTI_SCALE or [])]
+        if scales:
+            # multi-scale testing: run every scale, fuse per image with
+            # cross-scale per-class NMS in original-image coordinates
+            ratio = cfg.DATA.IMAGE_MIN_DIM / cfg.DATA.IMAGE_MAX_DIM
+            per_image = {int(i): [] for i in image_ids}
+            for s in scales:
+                scaled = model.clone(image_size=s)
+                for (img_idx, _, boxes, cls, sc, fm) in _detect_images(
+                        scaled, variables, cfg, val_dataset, image_ids,
+                        eval_masks, min_dim=int(round(s * ratio)), max_dim=s):
+                    per_image[int(img_idx)].append((boxes, cls, sc, fm))
+            det_stream = (
+                (i, None, *fuse_multiscale(
+                    per_image[int(i)], cfg.TEST.DET_MAX_INSTANCES,
+                    cfg.TEST.MULTI_SCALE_NMS_THRESHOLD))
+                for i in image_ids)
+        else:
+            det_stream = _detect_images(model, variables, cfg, val_dataset,
+                                        image_ids, eval_masks)
 
         results = []
-        t0 = time.time()
-
-        def prepare(start):
-            """Host-side load+mold for one chunk (runs in a worker thread,
-            overlapping with device inference on the previous chunk)."""
-            chunk = image_ids[start:start + bs]
-            images = [val_dataset.load_image(int(i)) for i in chunk]
-            pad = bs - len(images)
-            molded, metas, windows = mold_inputs(images, cfg)
-            if pad:
-                molded = np.concatenate(
-                    [molded, np.zeros_like(molded[:1]).repeat(pad, 0)])
-                windows = np.concatenate(
-                    [windows, windows[:1].repeat(pad, 0)])
-            return chunk, images, molded, windows
-
-        import concurrent.futures as cf
-        pool = cf.ThreadPoolExecutor(max_workers=1)
-        starts = list(range(0, len(image_ids), bs))
-        pending = pool.submit(prepare, starts[0]) if starts else None
-        for si, start in enumerate(starts):
-            chunk, images, molded, windows = pending.result()
-            pending = (pool.submit(prepare, starts[si + 1])
-                       if si + 1 < len(starts) else None)
-            out = jax.device_get(infer(
-                variables, jnp.asarray(molded), jnp.asarray(windows)))
-            dets = np.asarray(out["detections"], np.float32)
-            masks = np.asarray(out["masks"], np.float32)
-
-            for k, img_idx in enumerate(chunk):
-                orig_shape = images[k].shape
-                boxes, class_ids, scores, full_masks = unmold_detections(
-                    dets[k], masks[k] if eval_masks else None,
-                    orig_shape, windows[k], cfg)
-                coco_img_id = val_dataset.image_info[int(img_idx)]["id"]
-                if cfg.TEST.SAVE_IM:
-                    # prediction image dumps (parity: workflow.py:425-431)
-                    from ..utils.visualize import display_instances
-                    display_instances(
-                        images[k], boxes, class_ids,
-                        getattr(val_dataset, "class_names", None),
-                        scores=scores,
-                        save_path=os.path.join(
-                            folder, "images", f"det_{coco_img_id}.png"))
-                for j in range(len(class_ids)):
-                    y1, x1, y2, x2 = boxes[j]
-                    result = {
-                        "image_id": int(coco_img_id),
-                        "category_id": val_dataset.get_source_class_id(
-                            int(class_ids[j]), "coco"),
-                        "bbox": [float(x1), float(y1), float(x2 - x1),
-                                 float(y2 - y1)],
-                        "score": float(scores[j]),
-                    }
-                    if eval_masks and full_masks[j] is not None:
-                        result["segmentation"] = RLE.encode(
-                            full_masks[j]).to_coco()
-                    results.append(result)
-        pool.shutdown(wait=False)
+        for img_idx, image, boxes, class_ids, scores, full_masks in det_stream:
+            coco_img_id = val_dataset.image_info[int(img_idx)]["id"]
+            if cfg.TEST.SAVE_IM:
+                # prediction image dumps (parity: workflow.py:425-431)
+                from ..utils.visualize import display_instances
+                if image is None:  # multi-scale path doesn't retain images
+                    image = val_dataset.load_image(int(img_idx))
+                display_instances(
+                    image, boxes, class_ids,
+                    getattr(val_dataset, "class_names", None),
+                    scores=scores,
+                    save_path=os.path.join(
+                        folder, "images", f"det_{coco_img_id}.png"))
+            for j in range(len(class_ids)):
+                y1, x1, y2, x2 = boxes[j]
+                result = {
+                    "image_id": int(coco_img_id),
+                    "category_id": val_dataset.get_source_class_id(
+                        int(class_ids[j]), "coco"),
+                    "bbox": [float(x1), float(y1), float(x2 - x1),
+                             float(y2 - y1)],
+                    "score": float(scores[j]),
+                }
+                if eval_masks and full_masks[j] is not None:
+                    result["segmentation"] = RLE.encode(
+                        full_masks[j]).to_coco()
+                results.append(result)
         dt = time.time() - t0
         print_log(
             f"prediction time: {dt:.2f}s "

@@ -74,7 +74,8 @@ def main():
     # synthetic/small datasets have fewer classes than COCO's 81
     cfg.DATASET.NUM_CLASSES = val_dataset.num_classes
 
-    model = InterNet.from_config(cfg, dtype=jnp.bfloat16)
+    dtypes = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)
+    model = InterNet.from_config(cfg, dtype=dtypes[cfg.TPU.COMPUTE_DTYPE])
 
     size = int(cfg.DATA.IMAGE_MAX_DIM)
     g = int(cfg.DATA.MAX_GT_INSTANCES)
@@ -105,6 +106,12 @@ def main():
     eval_vars = {"params": trainer.state.params}
     if trainer.state.batch_stats:
         eval_vars["batch_stats"] = trainer.state.batch_stats
+
+    # TEST.DTYPE: optional fp32 (or bf16) eval pass independent of the
+    # training compute dtype — params are fp32 either way, so the same
+    # variables apply to the re-typed model.
+    if cfg.TEST.DTYPE and cfg.TEST.DTYPE != cfg.TPU.COMPUTE_DTYPE:
+        model = model.clone(dtype=dtypes[cfg.TEST.DTYPE])
 
     if args.phase == "inference":
         test_model(model, eval_vars, cfg, val_dataset, val_api,

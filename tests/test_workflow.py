@@ -92,6 +92,57 @@ def test_train_epoch_and_eval_roundtrip(env):
     np.testing.assert_allclose(stats, stats2)
 
 
+def test_np_greedy_nms_and_fusion():
+    from feature_intertwiner_tpu.train.workflow import (
+        _np_greedy_nms, fuse_multiscale)
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep = _np_greedy_nms(boxes, scores, 0.5)
+    np.testing.assert_array_equal(keep, [0, 2])
+
+    # two "scales" with an overlapping duplicate of the top box and a
+    # different-class box at the same location (must NOT suppress across class)
+    s1 = (boxes, np.array([1, 1, 2]), scores, [None] * 3)
+    s2 = (np.array([[0, 0, 10, 10]], np.float32), np.array([3]),
+          np.array([0.85], np.float32), [None])
+    fb, fc, fs, fm = fuse_multiscale([s1, s2], max_instances=10, thresh=0.5)
+    assert len(fb) == 3  # class-1 winner, class-2 box, class-3 box
+    assert list(fs) == sorted(fs, reverse=True)
+    assert set(fc.tolist()) == {1, 2, 3}
+
+    fb, fc, fs, fm = fuse_multiscale([s1, s2], max_instances=2, thresh=0.5)
+    assert len(fb) == 2 and fs[0] >= fs[1]
+
+
+@pytest.mark.slow
+def test_multiscale_eval(env):
+    """Multi-scale testing path: per-scale inference + cross-scale fusion
+    through the full COCOeval loop."""
+    cfg, loader, val, val_api, model, variables = env
+    cfg.TEST.MULTI_SCALE = [96, 128]
+    try:
+        stats = run_eval(model, variables, cfg, val, val_api, epoch=77)
+    finally:
+        cfg.TEST.MULTI_SCALE = []
+    assert stats.shape == (12,)
+    cache = os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0077.json")
+    assert os.path.exists(cache)
+
+
+@pytest.mark.slow
+def test_fp32_eval_dtype_clone(env):
+    """TEST.DTYPE-style eval: the bf16 model re-typed to fp32 runs with the
+    same variables and produces finite detections."""
+    cfg, loader, val, val_api, model, variables = env
+    bf16 = model.clone(dtype=jnp.bfloat16)
+    fp32 = bf16.clone(dtype=jnp.float32)
+    img = jnp.zeros((1, IMG, IMG, 3), jnp.float32)
+    win = jnp.array([[0, 0, IMG, IMG]], jnp.float32)
+    out = fp32.apply(variables, img, mode="inference", windows=win)
+    assert np.isfinite(np.asarray(out["detections"])).all()
+
+
 def test_mold_unmold_roundtrip(env):
     cfg = env[0]
     rng = np.random.RandomState(0)
