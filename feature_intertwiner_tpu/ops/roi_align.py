@@ -20,6 +20,19 @@ Replaces the reference's C/CUDA extension
    and each box gathers through its assigned level's offset: one gather,
    static shapes, zero waste.
 
+   Speed-of-light note (measured, v5e, scripts/profile_gather.py): the XLA
+   row-gather engine saturates at ~45 GB/s with ≥2 concurrent gather
+   streams (~30 GB/s for one). This formulation issues 4 parallel corner
+   gathers of [N·ch·cw] 512B rows and runs AT that wall (e.g. 76 ms for
+   32×1000 RoIs at 7², 3.2 GB gathered). Formulations that reduce row
+   count by packing all 4 corners into 4C-channel rows (shifted-concat
+   table) are bit-exact but SLOWER (131 ms): gather cost is byte-bound,
+   and packing adds the table-build traffic. Block gathers
+   (slice_sizes=(1,2,2,C)) are ~2× slower per byte. Don't "optimize" this
+   path without beating the 45 GB/s wall — that requires a DMA-pipelined
+   kernel with data-dependent transfer sizes, which Pallas can't express
+   (static block shapes), or reading corners more than once.
+
 3. :func:`crop_and_resize_pallas` — Pallas kernel holding a channel-tile of
    the feature map resident in VMEM; boxes are streamed through SMEM and
    interpolation runs as small MXU matmuls. Sequential full-map DMA instead
@@ -29,7 +42,11 @@ Replaces the reference's C/CUDA extension
 
    Mosaic/TPU constraints discovered on hardware (kept as the roadmap for
    making the Pallas path the default — the XLA fused gather (2) is the
-   production path today):
+   production path today). NOTE: under the current libtpu,
+   ``crop_and_resize_pallas_mm`` no longer compiles on hardware (Mosaic
+   "infer-vector-layout: unsupported shape cast" on the ``[H,W,CT]→[H,W·CT]``
+   reshape that earlier toolchains accepted); it remains correct in
+   ``interpret=True`` mode and is kept as the reference formulation:
    - in-kernel ``dot_general`` must be strictly 2-D (a 3-D rhs or batched
      dims crash the Mosaic pipeline);
    - reshapes that merge/split the lane dim (e.g. ``[H,W,CT]→[H,W·CT]``)

@@ -64,7 +64,7 @@ def main():
            lambda f, g: jnp.take(f, g, axis=0), flat2, gidx)
 
     # single-level Pallas mm kernel on P4-sized map for comparison
-    bx_b = boxes.reshape(B, N, 4)
+    bx_b = boxes.reshape(B, N, 4)[:, :N // 128 * 128]
     timeit("pallas_mm single-level 64x64 7x7",
            lambda m, bx: RA.crop_and_resize_pallas_mm(m, bx, (7, 7)),
            maps[2], bx_b)
