@@ -64,5 +64,6 @@ for it in range(1, 201):
 print(f"train time {time.time()-t0:.1f}s", flush=True)
 
 eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
-stats = test_model(model, eval_vars, cfg, val, val_api, epoch=99)
+stats = test_model(model, eval_vars, cfg, val, val_api, epoch=99,
+                   eval_masks=True)
 print("bbox AP:", round(float(stats[0]), 3), "AP50:", round(float(stats[1]), 3), flush=True)
