@@ -308,25 +308,35 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
             windows = np.concatenate([windows, windows[:1].repeat(pad, 0)])
         return chunk, images, molded, windows
 
+    def finalize(chunk, images, windows, dev_out):
+        """D2H + unmold one chunk (runs while the device computes the next)."""
+        out = jax.device_get(dev_out)
+        dets = np.asarray(out["detections"], np.float32)
+        masks = np.asarray(out["masks"], np.float32)
+        for k, img_idx in enumerate(chunk):
+            boxes, class_ids, scores, full_masks = unmold_detections(
+                dets[k], masks[k] if eval_masks else None,
+                images[k].shape, windows[k], cfg)
+            yield (img_idx, images[k], boxes, class_ids, scores, full_masks)
+
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(max_workers=1)
     starts = list(range(0, len(image_ids), bs))
     pending = pool.submit(prepare, starts[0]) if starts else None
+    prev = None  # one-deep pipeline: host unmold of chunk i-1 overlaps
+    # device inference on chunk i (dispatch is async; device_get syncs)
     try:
         for si, start in enumerate(starts):
             chunk, images, molded, windows = pending.result()
             pending = (pool.submit(prepare, starts[si + 1])
                        if si + 1 < len(starts) else None)
-            out = jax.device_get(infer(
-                variables, jnp.asarray(molded), jnp.asarray(windows)))
-            dets = np.asarray(out["detections"], np.float32)
-            masks = np.asarray(out["masks"], np.float32)
-            for k, img_idx in enumerate(chunk):
-                boxes, class_ids, scores, full_masks = unmold_detections(
-                    dets[k], masks[k] if eval_masks else None,
-                    images[k].shape, windows[k], cfg)
-                yield (img_idx, images[k], boxes, class_ids, scores,
-                       full_masks)
+            dev_out = infer(variables, jnp.asarray(molded),
+                            jnp.asarray(windows))
+            if prev is not None:
+                yield from finalize(*prev)
+            prev = (chunk, images, windows, dev_out)
+        if prev is not None:
+            yield from finalize(*prev)
     finally:
         pool.shutdown(wait=False)
 

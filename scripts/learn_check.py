@@ -29,7 +29,8 @@ cfg.TEST.DET_MIN_CONFIDENCE = 0.5
 cfg.TRAIN.BATCH_SIZE = 8
 cfg.TRAIN.INIT_LR = 0.002
 cfg.DEV.SWITCH = True
-cfg.DEV.LOSS_CHOICE = "l2"
+# meta-loss variant override for hardware checks: LOSS_CHOICE=ot|l1|kl|l2
+cfg.DEV.LOSS_CHOICE = os.environ.get("LOSS_CHOICE", "l2")
 cfg.DEV.BUFFER_SIZE = 1
 cfg.DEV.UPSAMPLE_FAC = 1.0
 cfg.DEV.LOSS_FAC = 1.0
@@ -67,3 +68,11 @@ eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
 stats = test_model(model, eval_vars, cfg, val, val_api, epoch=99,
                    eval_masks=True)
 print("bbox AP:", round(float(stats[0]), 3), "AP50:", round(float(stats[1]), 3), flush=True)
+
+# bf16-vs-fp32 numerics audit (the TEST.DTYPE eval-precision option): same
+# params, fp32 compute; report the AP delta vs the bf16 eval above.
+stats32 = test_model(model.clone(dtype=jnp.float32), eval_vars, cfg, val,
+                     val_api, epoch=98)
+print("fp32-eval bbox AP:", round(float(stats32[0]), 3),
+      "AP50:", round(float(stats32[1]), 3),
+      "| delta vs bf16 eval:", round(float(stats32[0] - stats[0]), 4), flush=True)
