@@ -191,13 +191,21 @@ class CocoDetectionDataset:
         self.config = config
         self.augment = augment
         self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Vary the per-sample augmentation stream across epochs (the
+        reference's global-RNG augmentation differs per visit; a seed from
+        (seed, idx) alone would freeze each image's flip/scale forever)."""
+        self._epoch = epoch
 
     def __len__(self):
         return self.dataset.num_images
 
     def __getitem__(self, idx: int) -> dict:
         cfg = self.config
-        rng = np.random.RandomState((self.seed * 100003 + idx) % (2 ** 31))
+        rng = np.random.RandomState(
+            (self.seed * 100003 + self._epoch * 7919 + idx) % (2 ** 31))
         image, meta, class_ids, bbox, mask = T.load_image_and_gt(
             self.dataset, cfg, int(idx), augment=self.augment,
             use_mini_mask=cfg.MRCNN.USE_MINI_MASK, rng=rng)

@@ -37,6 +37,9 @@ class PrefetchLoader:
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            # fresh augmentation stream per epoch (flip / multi-scale picks)
+            self.dataset.set_epoch(epoch)
 
     def _index_batches(self):
         n = len(self.dataset)
@@ -50,7 +53,6 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._index_batches())
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         task_q: "queue.Queue" = queue.Queue()
         for bi, idxs in enumerate(batches):
             task_q.put((bi, idxs))
@@ -58,12 +60,22 @@ class PrefetchLoader:
         errors = []
         lock = threading.Lock()
         stop_event = threading.Event()
+        # Backpressure: bound in-flight + undelivered batches so a slow
+        # consumer can't make workers materialize the whole epoch into RAM.
+        # Slots are acquired BEFORE pulling a task, so slot holders are always
+        # the earliest pending batches — the consumer's next batch is always
+        # among them and the pipeline can't deadlock.
+        slots = threading.Semaphore(max(self.prefetch, self.num_workers))
+        self._peak_outstanding = 0  # test/diagnostic hook
 
         def worker():
             while not stop_event.is_set():
+                if not slots.acquire(timeout=0.1):
+                    continue
                 try:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
                 try:
                     samples = [self.dataset[int(i)] for i in idxs]
@@ -78,6 +90,8 @@ class PrefetchLoader:
                     return
                 with lock:
                     results[bi] = batch
+                    self._peak_outstanding = max(self._peak_outstanding,
+                                                 len(results))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -95,6 +109,7 @@ class PrefetchLoader:
                 if batch is None:
                     time.sleep(0.002)
                     continue
+                slots.release()
                 yield batch
                 next_bi += 1
         finally:

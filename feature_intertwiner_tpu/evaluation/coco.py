@@ -133,6 +133,9 @@ class COCO:
             ann["id"] = idx + 1
             ann.setdefault("iscrowd", 0)
             if "bbox" in ann and "area" not in ann:
+                # bbox area even when a segmentation is present — exact
+                # pycocotools semantics (the bbox branch wins; reference
+                # coco.py:323-331 sets area = bb[2]*bb[3] there too)
                 ann["area"] = float(ann["bbox"][2] * ann["bbox"][3])
             if "segmentation" in ann and "bbox" not in ann:
                 img = self.imgs[ann["image_id"]]

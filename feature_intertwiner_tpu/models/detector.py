@@ -83,6 +83,7 @@ class InterNet(nn.Module):
     dev_big_feat_detach: bool = True
     dev_assign_all_scale: bool = False
     dev_feat_pool_size: int = 14
+    dev_ot_one_dim_form: str = "conv"
     cls_merge_feat: bool = False
     cls_merge_manner: str = "simple_add"
     cls_merge_fac: float = 0.5
@@ -135,6 +136,7 @@ class InterNet(nn.Module):
             dev_big_feat_detach=cfg.DEV.BIG_FEAT_DETACH,
             dev_assign_all_scale=cfg.DEV.ASSIGN_BOX_ON_ALL_SCALE,
             dev_feat_pool_size=cfg.DEV.FEAT_BRANCH_POOL_SIZE,
+            dev_ot_one_dim_form=cfg.DEV.OT_ONE_DIM_FORM,
             cls_merge_feat=cfg.DEV.CLS_MERGE_FEAT,
             cls_merge_manner=cfg.DEV.CLS_MERGE_MANNER,
             cls_merge_fac=cfg.DEV.CLS_MERGE_FAC,
@@ -193,7 +195,8 @@ class InterNet(nn.Module):
         )
         self.mask = MaskHead(self.num_classes, dtype=self.dtype, name="mask")
         if self.dev_switch and self.dev_loss_choice == "ot":
-            self.ot_loss = OptTrans1D(1024, name="ot_loss", dtype=self.dtype)
+            self.ot_loss = OptTrans1D(1024, one_dim_form=self.dev_ot_one_dim_form,
+                                      name="ot_loss", dtype=self.dtype)
         else:
             self.ot_loss = None
 

@@ -88,6 +88,8 @@ def learning_rate(cfg, epoch: int, iter_in_epoch: int) -> float:
     """Host-side LR (parity: adjust_lr, utils.py:504-522). 1-based epoch/iter."""
     t = cfg.TRAIN
     if t.LR_WARM_UP and epoch == 1 and iter_in_epoch <= t.LR_WP_ITER:
+        if t.LR_WP_ITER <= 1:
+            return t.INIT_LR
         a = t.INIT_LR * (1 - t.LR_WP_FACTOR) / (t.LR_WP_ITER - 1)
         b = t.INIT_LR * t.LR_WP_FACTOR - a
         return a * iter_in_epoch + b

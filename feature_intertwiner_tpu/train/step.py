@@ -164,6 +164,29 @@ def intertwiner_meta(
     return loss, new_buffer, new_cnt
 
 
+def freeze_opt_state(new_opt, old_opt, mask):
+    """Keep optimizer state untouched for frozen params.
+
+    The optimizer states used here (trace / adam mu,nu / rms nu) are
+    params-structured trees interleaved with scalar counters; flattened, every
+    non-scalar leaf walks the param tree in mask order, so masked selection
+    can be applied positionally.
+    """
+    mask_flat = jax.tree_util.tree_leaves(mask)
+    n = len(mask_flat)
+    new_flat, treedef = jax.tree_util.tree_flatten(new_opt)
+    old_flat, _ = jax.tree_util.tree_flatten(old_opt)
+    out, i = [], 0
+    for nl, ol in zip(new_flat, old_flat):
+        if jnp.ndim(nl) == 0:
+            out.append(nl)
+        else:
+            out.append(jnp.where(mask_flat[i % n], nl, ol))
+            i += 1
+    assert i % n == 0, (i, n)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_train_step(model, cfg, layers: str = "all",
                     axis_name: Optional[str] = None):
     """Build the jittable train step.
@@ -254,14 +277,27 @@ def make_train_step(model, cfg, layers: str = "all",
 
         grads, (metrics, new_buf, new_cnt, new_stats) = jax.grad(
             loss_fn, has_aux=True)(state.params)
+        # Zero frozen-param grads FIRST: torch's requires_grad=False leaves
+        # p.grad None, so frozen params contribute neither to the clip norm
+        # nor to optimizer-state accumulation.
+        grads = jax.tree_util.tree_map(
+            lambda g, m: jnp.where(m, g, 0.0), grads, tmask)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
+            if bn_learn:
+                # per-device batch shards produce per-device BN statistics;
+                # keep the replicated-state invariant (cross-replica BN mean)
+                new_stats = jax.lax.pmean(new_stats, axis_name)
         if clip_grad:
             grads, gnorm = clip_global_norm(grads, max_norm)
             metrics["grad_norm"] = gnorm
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # frozen params keep their exact optimizer state (torch parity:
+        # no momentum/decay accumulation while requires_grad=False — the
+        # weight-decay term would otherwise leak into trace via updates)
+        new_opt = freeze_opt_state(new_opt, state.opt_state, tmask)
         # stage-wise freezing + torch-SGD lr position (optim.py docstring)
         updates = jax.tree_util.tree_map(
             lambda u, m: jnp.where(m, -lr * u, 0.0), updates, tmask)

@@ -76,13 +76,35 @@ class Trainer:
         path = ckpt.resolve_init(self.cfg, folder)
         if path and ckpt.CKPT_RE.match(os.path.basename(path)):
             self.state, epoch, it = ckpt.restore_checkpoint(path, self.state)
-            # epoch-boundary rollover (parity: utils.py:335-339)
-            total_iter = getattr(self, "_iters_per_epoch", None)
             self.epoch, self.iter = epoch, it + 1
             print_log(f"resumed from {path} (ep {epoch}, iter {it})",
                       self.cfg.MISC.LOG_FILE)
             if self.cfg.TRAIN.FORCE_START_EPOCH:
                 self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
+        elif path:
+            # pretrained weights, not a training checkpoint: overlay with
+            # strict=False reporting (parity: utils.py:321-325,434-443 load
+            # of PRETRAIN_COCO_MODEL / PRETRAIN_IMAGENET_MODEL / a file)
+            from ..utils import convert_weights as cw
+            log = lambda m: print_log(m, self.cfg.MISC.LOG_FILE)  # noqa: E731
+            if path.endswith(".npz"):
+                lp, ls = cw.load_converted_npz(path)
+            elif path.endswith((".pth", ".pt")):
+                lp, ls = cw.convert_reference_state_dict(
+                    cw.load_torch_checkpoint(path),
+                    arch=self.cfg.MODEL.BACKBONE,
+                    upsample_fac=self.cfg.DEV.UPSAMPLE_FAC)
+            elif path.endswith((".h5", ".hdf5")):
+                lp, ls = cw.convert_keras_h5(path, self.cfg.MODEL.BACKBONE)
+            else:
+                raise ValueError(
+                    f"unrecognized pretrained weight format: {path!r} "
+                    "(expected .npz from the converter CLI, .pth, or .h5)")
+            new_p, new_s = cw.merge_pretrained(
+                self.state.params, self.state.batch_stats, lp, ls, log_fn=log)
+            self.state = self.state.replace(params=new_p, batch_stats=new_s)
+            print_log(f"initialized from pretrained weights: {path}",
+                      self.cfg.MISC.LOG_FILE)
         return self
 
 
@@ -142,12 +164,32 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
     loader.set_epoch(epoch)
     rng = jax.random.PRNGKey(cfg.MISC.SEED + 1009 * epoch)
 
-    it = start_iter - 1
+    # CTRL.PROFILE_ANALYSIS: fetch/step phase timing, the reference's
+    # per-stage prints (lib/workflow.py:159-234) as a periodic report
+    timer = None
+    if cfg.CTRL.PROFILE_ANALYSIS:
+        from ..utils.profiling import PhaseTimer
+        timer = PhaseTimer()
+
+    it = 0
     t_iter = time.time()
-    for batch in loader:
+    batch_iter = iter(loader)
+    while True:
+        if timer:
+            with timer.phase("fetch"):
+                batch = next(batch_iter, None)
+        else:
+            batch = next(batch_iter, None)
+        if batch is None:
+            break
         it += 1
         if it > total_iter:
             break
+        if it < start_iter:
+            # mid-epoch resume: the per-epoch shuffle is seed-deterministic,
+            # so skipping the already-trained head replays nothing and the
+            # epoch tail is still seen (parity with restarting at iter N)
+            continue
         lr = learning_rate(cfg, epoch, it)
         meta_gate = 1.0 if it > do_meta_after else 0.0
         rng, sub = jax.random.split(rng)
@@ -159,9 +201,16 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
             device_batch = shard_batch(device_batch, trainer.mesh)
 
         try:
-            trainer.state, metrics = step_fn(
-                trainer.state, device_batch, jnp.float32(lr),
-                jnp.float32(meta_gate), sub)
+            if timer:
+                with timer.phase("step"):
+                    trainer.state, metrics = step_fn(
+                        trainer.state, device_batch, jnp.float32(lr),
+                        jnp.float32(meta_gate), sub)
+                    jax.block_until_ready(metrics)
+            else:
+                trainer.state, metrics = step_fn(
+                    trainer.state, device_batch, jnp.float32(lr),
+                    jnp.float32(meta_gate), sub)
         except Exception as exc:
             # crash surface + re-raise (parity: the visdom error panel,
             # workflow.py:170-178); last state remains checkpointable
@@ -182,6 +231,8 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
                 cfg.MISC.LOG_FILE)
             trainer.metrics_logger.log(epoch=epoch, iter=it, lr=lr,
                                        **host_metrics)
+            if timer:
+                timer.report(lambda m: print_log(m, cfg.MISC.LOG_FILE))
             t_iter = time.time()
 
         if it % save_base == 0:

@@ -188,6 +188,17 @@ def convert_keras_h5(h5_path: str, arch: str = "resnet101") -> Tuple[dict, dict]
             if bias:
                 p[f"{dst}/bias"] = get(layer, "bias:0")
 
+        def kdeconv(dst, layer):
+            # keras Conv2DTranspose stores [kh, kw, OUT, IN] with gradient
+            # semantics (same as torch); flax ConvTranspose convolves with a
+            # [kh, kw, IN, OUT] kernel -> swap the channel dims and flip
+            # spatially (composition of the reference converter's blanket
+            # (3,2,0,1) keras->torch transpose with _deconv)
+            w = get(layer, "kernel:0")
+            p[f"{dst}/kernel"] = np.ascontiguousarray(
+                np.transpose(w, (0, 1, 3, 2))[::-1, ::-1])
+            p[f"{dst}/bias"] = get(layer, "bias:0")
+
         def kbn(dst, layer):
             inner = f"{dst}/BatchNorm_0"
             p[f"{inner}/scale"] = get(layer, "gamma:0")
@@ -228,7 +239,7 @@ def convert_keras_h5(h5_path: str, arch: str = "resnet101") -> Tuple[dict, dict]
         for i in (1, 2, 3, 4):
             kconv(f"mask/conv{i}", f"mrcnn_mask_conv{i}")
             kbn(f"mask/bn{i}", f"mrcnn_mask_bn{i}")
-        kconv("mask/upsample", "mrcnn_mask_deconv")
+        kdeconv("mask/upsample", "mrcnn_mask_deconv")
         kconv("mask/logits", "mrcnn_mask")
 
     return (traverse_util.unflatten_dict(

@@ -194,3 +194,15 @@ def test_convert_keras_h5_roundtrip(tmp_path):
     assert s["backbone/c3/block2/bn3/BatchNorm_0/var"].shape == (512,)
     assert p["fpn/p2_lateral/kernel"].shape == (1, 1, 256, 256)
     assert p["mask/upsample/kernel"].shape == (2, 2, 256, 256)
+
+
+def test_keras_deconv_layout_matches_torch_path():
+    """keras Conv2DTranspose [kh,kw,OUT,IN] through the keras path must equal
+    the reference-converter blanket (3,2,0,1) transpose composed with the
+    torch _deconv (permute + spatial flip)."""
+    from feature_intertwiner_tpu.utils.convert_weights import _deconv
+    rng = np.random.RandomState(0)
+    k = rng.randn(2, 2, 5, 7).astype(np.float32)     # [kh, kw, OUT, IN]
+    via_torch = _deconv(np.transpose(k, (3, 2, 0, 1)))  # keras->torch->flax
+    direct = np.transpose(k, (0, 1, 3, 2))[::-1, ::-1]  # the kdeconv math
+    np.testing.assert_array_equal(via_torch, direct)

@@ -140,3 +140,44 @@ def test_loader_propagates_worker_errors():
     with pytest.raises(ValueError, match="corrupt sample"):
         for _ in loader:
             pass
+
+
+def test_loader_backpressure_bound():
+    """A slow consumer must not cause the whole epoch to materialize
+    (prefetch bound on undelivered batches)."""
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full(4, i, np.float32)}
+
+    loader = PrefetchLoader(Slow(), batch_size=2, shuffle=False,
+                            num_workers=4, prefetch=4)
+    seen = []
+    for batch in loader:
+        seen.append(batch["x"][0, 0])
+        time.sleep(0.01)  # slow consumer: workers would race far ahead
+    assert len(seen) == 32
+    assert seen == sorted(seen)  # in-order delivery
+    # bound = max(prefetch, num_workers); allow one in-flight slack
+    assert loader._peak_outstanding <= 5
+
+
+def test_augmentation_varies_across_epochs(coco_root):
+    cfg = _small_cfg()
+    loader, _, _ = get_data(cfg, data_root=coco_root)
+    ds = loader.dataset
+    imgs = {}
+    for epoch in (1, 2, 3, 4):
+        loader.set_epoch(epoch)
+        imgs[epoch] = np.stack([ds[i]["images"] for i in range(4)])
+    # same epoch is deterministic
+    loader.set_epoch(1)
+    np.testing.assert_array_equal(
+        imgs[1], np.stack([ds[i]["images"] for i in range(4)]))
+    # across epochs the flip augmentation must differ for at least one image
+    diffs = [not np.array_equal(imgs[1], imgs[e]) for e in (2, 3, 4)]
+    assert any(diffs), "augmentation is frozen across epochs"

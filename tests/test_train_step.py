@@ -154,3 +154,43 @@ def test_intertwiner_meta_skips_when_no_smalls():
     assert float(loss) == 0.0
     np.testing.assert_allclose(np.asarray(b1), np.asarray(buf))
     np.testing.assert_allclose(np.asarray(c1), np.asarray(cnt))
+
+
+def test_frozen_params_keep_optimizer_state(setup):
+    """torch parity: requires_grad=False params accumulate no momentum/decay
+    while frozen ('heads' stage), so unfreezing applies no stale velocity."""
+    model, variables, batch = setup
+    cfg = _cfg()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, layers="heads"))
+    s = state
+    for i in range(2):
+        s, _ = step(s, batch, jnp.float32(0.01), jnp.float32(1.0),
+                    jax.random.PRNGKey(10 + i))
+    mask = trainable_mask(state.params, "heads")
+    # locate the trace (params-shaped) leaves of opt_state
+    from feature_intertwiner_tpu.train.step import freeze_opt_state
+    mask_flat = jax.tree_util.tree_leaves(mask)
+    new_flat = jax.tree_util.tree_leaves(s.opt_state)
+    old_flat = jax.tree_util.tree_leaves(state.opt_state)
+    i = 0
+    frozen_changed, trainable_changed = 0, 0
+    for nl, ol in zip(new_flat, old_flat):
+        if jnp.ndim(nl) == 0:
+            continue
+        m = mask_flat[i % len(mask_flat)]
+        i += 1
+        delta = float(jnp.abs(nl - ol).max())
+        if m and delta > 0:
+            trainable_changed += 1
+        if (not m) and delta > 0:
+            frozen_changed += 1
+    assert frozen_changed == 0
+    assert trainable_changed > 0
+
+
+def test_warmup_single_iter_no_crash():
+    cfg = _cfg()
+    cfg.TRAIN.LR_WARM_UP = True
+    cfg.TRAIN.LR_WP_ITER = 1
+    assert learning_rate(cfg, 1, 1) == cfg.TRAIN.INIT_LR

@@ -155,3 +155,47 @@ def test_mold_unmold_roundtrip(env):
     boxes, cls, scores, _ = unmold_detections(
         det, None, img.shape, windows[0], cfg)
     np.testing.assert_array_equal(boxes[0], [0, 0, 100, 140])
+
+
+def test_resume_from_pretrained_npz(env, tmp_path):
+    """MODEL.INIT_FILE_CHOICE pointing at a converted .npz must actually load
+    the weights (strict=False overlay), not silently start from scratch."""
+    cfg, loader, val, val_api, model, variables = env
+    from flax import traverse_util
+
+    # build an npz in the converter CLI's format from doctored params
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            traverse_util.flatten_dict(variables["params"]).items()}
+    key = "fpn/p5_lateral/kernel"
+    doctored = dict(flat)
+    doctored[key] = np.full_like(flat[key], 0.123)
+    npz_path = str(tmp_path / "pretrain.npz")
+    np.savez(npz_path, **{f"params/{k}": v for k, v in doctored.items()})
+
+    old_choice, old_folder = cfg.MODEL.INIT_FILE_CHOICE, cfg.MISC.RESULT_FOLDER
+    cfg.MODEL.INIT_FILE_CHOICE = npz_path
+    cfg.MISC.RESULT_FOLDER = str(tmp_path)  # no checkpoints here
+    try:
+        trainer = Trainer(model, cfg, variables, mesh=None).resume()
+    finally:
+        cfg.MODEL.INIT_FILE_CHOICE = old_choice
+        cfg.MISC.RESULT_FOLDER = old_folder
+    loaded = traverse_util.flatten_dict(trainer.state.params)
+    got = np.asarray(loaded[tuple(key.split("/"))])
+    np.testing.assert_allclose(got, 0.123)
+    assert trainer.epoch == 1  # pretrained init is not a resume point
+
+
+@pytest.mark.slow
+def test_profile_analysis_flag(env, capsys):
+    """CTRL.PROFILE_ANALYSIS produces fetch/step phase reports."""
+    cfg, loader, val, val_api, model, variables = env
+    cfg.CTRL.PROFILE_ANALYSIS = True
+    try:
+        trainer = Trainer(model, cfg, variables, mesh=None)
+        train_epoch(trainer, loader, "all", epoch=1, stage_name="ALL",
+                    epoch_str="[Ep 1/1]")
+    finally:
+        cfg.CTRL.PROFILE_ANALYSIS = False
+    out = capsys.readouterr().out
+    assert "[profile] fetch:" in out and "[profile] step:" in out
