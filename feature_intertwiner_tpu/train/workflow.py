@@ -142,7 +142,7 @@ def train_model(trainer: Trainer, loader, layers: str,
                     **({"batch_stats": trainer.state.batch_stats}
                        if trainer.state.batch_stats else {})},
                    cfg, val_dataset, val_api, during_train=True,
-                   epoch=trainer.epoch - 1)
+                   epoch=trainer.epoch - 1, mesh=trainer.mesh)
 
 
 def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
@@ -337,16 +337,30 @@ def fuse_multiscale(per_scale, max_instances, thresh):
 
 
 def _detect_images(model, variables, cfg, val_dataset, image_ids,
-                   eval_masks, min_dim=None, max_dim=None):
+                   eval_masks, min_dim=None, max_dim=None, mesh=None):
     """Chunked jitted inference at one scale; host-side image loading/molding
     runs on a worker thread, overlapped with device inference on the previous
     chunk. Yields (img_idx, image, boxes, class_ids, scores, full_masks) in
-    original-image coordinates."""
-    bs = max(1, cfg.TEST.BATCH_SIZE)
+    original-image coordinates.
 
-    @jax.jit
-    def infer(v, im, win):
-        return model.apply(v, im, mode="inference", windows=win)
+    With ``mesh`` the batch is sharded over the data axis (the reference
+    evals through nn.DataParallel the same way, workflow.py:380)."""
+    bs = max(1, cfg.TEST.BATCH_SIZE)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        bs = max(bs, n_dev)
+        bs += (-bs) % n_dev  # shardable chunk size
+        from ..parallel import make_parallel_eval_step, replicate, shard_batch
+        eval_step = make_parallel_eval_step(model, mesh)
+        variables = replicate(variables, mesh)
+
+        def infer(v, im, win):
+            sharded = shard_batch({"im": im, "win": win}, mesh)
+            return eval_step(v, sharded["im"], sharded["win"])
+    else:
+        @jax.jit
+        def infer(v, im, win):
+            return model.apply(v, im, mode="inference", windows=win)
 
     def prepare(start):
         chunk = image_ids[start:start + bs]
@@ -394,7 +408,8 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
 
 def test_model(model, variables, cfg, val_dataset, coco_api,
                during_train: bool = False, epoch: int = 0,
-               limit: Optional[int] = None, eval_masks: bool = False):
+               limit: Optional[int] = None, eval_masks: bool = False,
+               mesh=None):
     """Run COCO evaluation; returns the 12 COCOeval stats (bbox).
 
     Detections are cached to ``det_result_ep<epoch>.json`` and reused when
@@ -424,7 +439,8 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
                 scaled = model.clone(image_size=s)
                 for (img_idx, _, boxes, cls, sc, fm) in _detect_images(
                         scaled, variables, cfg, val_dataset, image_ids,
-                        eval_masks, min_dim=int(round(s * ratio)), max_dim=s):
+                        eval_masks, min_dim=int(round(s * ratio)), max_dim=s,
+                        mesh=mesh):
                     per_image[int(img_idx)].append((boxes, cls, sc, fm))
             det_stream = (
                 (i, None, *fuse_multiscale(
@@ -433,7 +449,7 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
                 for i in image_ids)
         else:
             det_stream = _detect_images(model, variables, cfg, val_dataset,
-                                        image_ids, eval_masks)
+                                        image_ids, eval_masks, mesh=mesh)
 
         results = []
         for img_idx, image, boxes, class_ids, scores, full_masks in det_stream:

@@ -50,6 +50,14 @@ def main():
     cfg.MISC.LOG_FILE = os.path.join(cfg.MISC.RESULT_FOLDER, "log.txt")
 
     import jax
+
+    # Honor JAX_PLATFORMS even when a sitecustomize pinned another backend —
+    # required to drive the SPMD paths on a virtual CPU mesh
+    # (XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and str(jax.config.jax_platforms or "") != want:
+        jax.config.update("jax_platforms", want)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -115,7 +123,7 @@ def main():
 
     if args.phase == "inference":
         test_model(model, eval_vars, cfg, val_dataset, val_api,
-                   epoch=trainer.epoch)
+                   epoch=trainer.epoch, mesh=mesh)
         return
 
     # visualize: dump per-detection 1024-d features for t-SNE tooling

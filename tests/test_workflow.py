@@ -199,3 +199,17 @@ def test_profile_analysis_flag(env, capsys):
         cfg.CTRL.PROFILE_ANALYSIS = False
     out = capsys.readouterr().out
     assert "[profile] fetch:" in out and "[profile] step:" in out
+
+
+@pytest.mark.slow
+def test_eval_under_mesh_matches_single_device(env):
+    """SPMD eval (the reference's DataParallel test_model): sharded inference
+    must produce the same COCOeval stats as single-device."""
+    from feature_intertwiner_tpu.parallel import make_mesh
+    cfg, loader, val, val_api, model, variables = env
+    single = run_eval(model, variables, cfg, val, val_api, epoch=55)
+    mesh = make_mesh(2)
+    sharded = run_eval(model, variables, cfg, val, val_api, epoch=56,
+                       mesh=mesh)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-6)
