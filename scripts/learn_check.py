@@ -76,3 +76,12 @@ stats32 = test_model(model.clone(dtype=jnp.float32), eval_vars, cfg, val,
 print("fp32-eval bbox AP:", round(float(stats32[0]), 3),
       "AP50:", round(float(stats32[1]), 3),
       "| delta vs bf16 eval:", round(float(stats32[0] - stats[0]), 4), flush=True)
+
+# multi-scale testing (TEST.MULTI_SCALE cross-scale fusion) on the same model
+if os.environ.get("MULTI_SCALE", "1") != "0":
+    cfg.TEST.MULTI_SCALE = [192, 256, 320]
+    stats_ms = test_model(model, eval_vars, cfg, val, val_api, epoch=97)
+    print("multi-scale bbox AP:", round(float(stats_ms[0]), 3),
+          "AP50:", round(float(stats_ms[1]), 3),
+          "| delta vs single-scale:", round(float(stats_ms[0] - stats[0]), 4),
+          flush=True)

@@ -1,0 +1,45 @@
+"""Host input-pipeline throughput: images/s through the threaded loader
+(full load→resize→pad→flip→mini-mask preprocessing on synthetic COCO data).
+
+The train step consumes ~14-15 img/s/chip (profile_train.py); the loader
+must sustain N_chips × that on one host.
+
+NOTE: the dev container this was authored in exposes ONE CPU core (nproc=1),
+so worker scaling cannot be measured there — run this on the real TPU host
+(which has dozens of cores per chip) to size DATA.LOADER_WORKER_NUM.
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E401,E702
+
+import tempfile
+import time
+
+from feature_intertwiner_tpu.config import build_config
+from feature_intertwiner_tpu.data import get_data, synthetic
+
+WORKERS = int(os.environ.get("W", "8"))
+IMAGES = int(os.environ.get("N", "64"))
+
+
+def main():
+    root = tempfile.mkdtemp()
+    synthetic.generate(root, num_images=IMAGES, size=(800, 1100), seed=1)
+    cfg = build_config()
+    cfg.CTRL.QUICK_VERIFY = True   # train on minival split (the synth set)
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.DATA.LOADER_WORKER_NUM = WORKERS
+    cfg.finalize()
+    loader, _, _ = get_data(cfg, data_root=root)
+
+    loader.set_epoch(1)
+    n = 0
+    t0 = time.perf_counter()
+    for batch in loader:
+        n += batch["images"].shape[0]
+    dt = time.perf_counter() - t0
+    print(f"workers={WORKERS}: {n} images in {dt:.2f}s = "
+          f"{n / dt:.1f} img/s host preprocessing")
+
+
+if __name__ == "__main__":
+    main()
