@@ -248,6 +248,9 @@ def _default_tree() -> AttrDict:
         MAX_PRE_NMS=6000,          # == RPN.PRE_NMS_LIMIT
         # Rematerialization of the backbone during training.
         REMAT_BACKBONE=True,
+        # Persistent XLA compilation cache directory ('' = disabled).
+        # Re-runs of the same shapes skip the 20-40s TPU compiles.
+        COMPILE_CACHE_DIR="",
     )
 
     return cfg

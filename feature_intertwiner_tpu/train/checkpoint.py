@@ -24,16 +24,41 @@ from .step import TrainState
 
 CKPT_RE = re.compile(r"ckpt_ep(\d+)_iter(\d+)$")
 
+_async_ckpt = None
+
+
+def _checkpointer() -> ocp.AsyncCheckpointer:
+    """Process-wide async checkpointer: the disk write runs on a background
+    thread so intra-epoch saves (SAVE_FREQ_WITHIN_EPOCH=10) don't stall the
+    train loop. Orbax commits atomically (tmp dir + rename), so readers only
+    ever see finished checkpoints."""
+    global _async_ckpt
+    if _async_ckpt is None:
+        import atexit
+        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        atexit.register(_async_ckpt.wait_until_finished)
+    return _async_ckpt
+
+
+def wait_for_saves():
+    if _async_ckpt is not None:
+        _async_ckpt.wait_until_finished()
+
 
 def checkpoint_dir(result_folder: str) -> str:
     return os.path.abspath(os.path.join(result_folder, "checkpoints"))
 
 
 def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
-                    iter_ind: int):
+                    iter_ind: int, blocking: bool = True):
+    """``blocking=False`` returns as soon as the device->host snapshot is
+    taken; the disk write finishes on a background thread (used for the
+    intra-epoch saves in the train loop). The returned path exists only
+    once the write commits — find_last/restore_checkpoint wait for it."""
     path = os.path.join(checkpoint_dir(result_folder),
                         f"ckpt_ep{epoch:04d}_iter{iter_ind:06d}")
-    ckpt = ocp.PyTreeCheckpointer()
+    ckpt = _checkpointer()
+    ckpt.wait_until_finished()  # at most one save in flight
     payload = serialization.to_state_dict(jax.device_get({
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -44,11 +69,14 @@ def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
         "meta": {"epoch": np.int32(epoch), "iter": np.int32(iter_ind)},
     }))
     ckpt.save(path, payload, force=True)
+    if blocking:
+        ckpt.wait_until_finished()
     return path
 
 
 def find_last(result_folder: str) -> Optional[str]:
     """Newest checkpoint path (parity: _find_last, utils.py:250-260)."""
+    wait_for_saves()
     d = checkpoint_dir(result_folder)
     if not os.path.isdir(d):
         return None
@@ -64,6 +92,7 @@ def find_last(result_folder: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
     """Restore into ``state``'s structure; returns (state, epoch, iter)."""
+    wait_for_saves()
     ckpt = ocp.PyTreeCheckpointer()
     raw = ckpt.restore(path)
     meta = raw.pop("meta")

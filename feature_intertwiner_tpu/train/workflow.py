@@ -237,7 +237,7 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
 
         if it % save_base == 0:
             ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state,
-                                 epoch, it)
+                                 epoch, it, blocking=False)
     trainer.iter = 1
 
 

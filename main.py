@@ -58,6 +58,11 @@ def main():
     if want and str(jax.config.jax_platforms or "") != want:
         jax.config.update("jax_platforms", want)
 
+    if cfg.TPU.COMPILE_CACHE_DIR:
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.TPU.COMPILE_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 

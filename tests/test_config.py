@@ -77,3 +77,17 @@ def test_attrdict_freeze():
     d.freeze(False)
     d.a = 3
     assert d.a == 3
+
+
+def test_shipped_config_recipes_parse():
+    """Every YAML recipe under configs/ must load and finalize."""
+    import glob
+    import os
+    from feature_intertwiner_tpu.config import build_config
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "**", "*.yaml"),
+                             recursive=True))
+    assert files, "no shipped configs found"
+    for f in files:
+        cfg = build_config(config_file=f)
+        assert cfg.DATA.IMAGE_MAX_DIM > 0
