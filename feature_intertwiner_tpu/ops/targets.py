@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import boxes as box_ops
-from .roi_align import crop_and_resize
+from .roi_align import crop_and_resize_separable
 
 BIG = 1e9
 
@@ -96,24 +96,31 @@ def rpn_targets(
         match = jnp.where(force, 1, match)
         match = jnp.where(anchor_iou_max >= pos_thresh, 1, match)
 
+        # Random subsampling via top_k over uniform scores: the k highest of
+        # N iid uniforms are a uniform random k-subset, and top_k(k≤256) over
+        # the 262k anchors is ~9x cheaper than the full argsort+rank-scatter
+        # formulation (3.8ms vs 15ms per step at B=8, scripts/profile_targets2.py).
+        def _random_keep(k2, elig, cap, budget=None):
+            cap = min(cap, elig.shape[0])
+            scores = jnp.where(elig, jax.random.uniform(k2, elig.shape), -1.0)
+            _, idx = jax.lax.top_k(scores, cap)
+            limit = jnp.minimum(jnp.sum(elig.astype(jnp.int32)), cap)
+            if budget is not None:
+                limit = jnp.minimum(limit, budget)
+            valid = jnp.arange(cap) < limit
+            return jnp.zeros(elig.shape, bool).at[idx].set(valid)
+
         # subsample positives to <= half
         k_pos, k_neg = jax.random.split(k1)
         pos = match == 1
-        n_pos = jnp.sum(pos.astype(jnp.int32))
-        drop_scores = jnp.where(pos, jax.random.uniform(k_pos, pos.shape), BIG)
-        order = jnp.argsort(drop_scores)                     # random pos first
-        rank = jnp.zeros_like(match).at[order].set(jnp.arange(match.shape[0]))
-        keep_pos = pos & (rank < half)
+        keep_pos = _random_keep(k_pos, pos, half)
         match = jnp.where(pos & ~keep_pos, 0, match)
 
         # subsample negatives to fill the budget
         n_pos_kept = jnp.sum((match == 1).astype(jnp.int32))
         budget = train_anchors_per_image - n_pos_kept
         neg = match == -1
-        drop_scores = jnp.where(neg, jax.random.uniform(k_neg, neg.shape), BIG)
-        order = jnp.argsort(drop_scores)
-        rank = jnp.zeros_like(match).at[order].set(jnp.arange(match.shape[0]))
-        keep_neg = neg & (rank < budget)
+        keep_neg = _random_keep(k_neg, neg, train_anchors_per_image, budget)
         match = jnp.where(neg & ~keep_neg, 0, match)
 
         # per-anchor deltas toward the argmax GT (valid for positives)
@@ -222,9 +229,9 @@ def detection_targets(
         else:
             mb = rois
         roi_masks = masks[roi_gt][..., None]                 # [R, mh, mw, 1]
-        crops = crop_and_resize(
-            roi_masks, mb, jnp.arange(mb.shape[0], dtype=jnp.int32), mask_shape
-        )[..., 0]
+        # separable two-matmul crop: C=1 sources are pathological for the
+        # gather engine (4-byte rows), ~40x faster as MXU matmuls
+        crops = crop_and_resize_separable(roi_masks, mb, mask_shape)[..., 0]
         target_masks = jnp.round(crops) * sel_pos[:, None, None]
 
         return rois, roi_cls, deltas, target_masks, sel_pos, sel_valid

@@ -15,6 +15,7 @@ from feature_intertwiner_tpu.ops.roi_align import (
     crop_and_resize,
     crop_and_resize_fused,
     crop_and_resize_pallas,
+    crop_and_resize_separable,
     multilevel_crop_and_resize,
 )
 
@@ -178,3 +179,38 @@ def test_fused_custom_vjp_backward(rng, monkeypatch):
     g_fused = np.asarray(jax.grad(loss_fused)(image))
     g_ref = np.asarray(jax.grad(loss_ref)(image))
     np.testing.assert_allclose(g_fused, g_ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("crop", [(28, 28), (1, 1), (5, 9)])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_separable_matches_gather(rng, crop, channels):
+    """The MXU (Wy @ img @ Wx^T) crop equals the 4-corner gather crop,
+    including out-of-range boxes, inverted boxes, and degenerate points."""
+    n, h, w = 32, 56, 40
+    images = jnp.array(rng.randn(n, h, w, channels).astype(np.float32))
+    boxes = np.concatenate(
+        [
+            rng.uniform(-0.4, 1.4, (n - 4, 4)),
+            np.array([[0.0, 0.0, 1.0, 1.0],
+                      [0.3, 0.3, 0.3, 0.3],       # degenerate point
+                      [0.8, 0.8, 0.2, 0.2],       # inverted
+                      [-1.0, -1.0, -0.5, -0.5]]),  # fully outside
+        ]
+    ).astype(np.float32)
+    boxes = jnp.array(boxes)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    ref = np.asarray(crop_and_resize(images, boxes, idx, crop))
+    got = np.asarray(crop_and_resize_separable(images, boxes, crop))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_separable_extrapolation_value(rng):
+    images = jnp.array(rng.randn(6, 16, 16, 1).astype(np.float32))
+    boxes = jnp.array(rng.uniform(-0.6, 1.6, (6, 4)).astype(np.float32))
+    idx = jnp.arange(6, dtype=jnp.int32)
+    ref = np.asarray(crop_and_resize(images, boxes, idx, (7, 7),
+                                     extrapolation_value=3.5))
+    got = np.asarray(crop_and_resize_separable(images, boxes, (7, 7),
+                                               extrapolation_value=3.5))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
