@@ -135,9 +135,16 @@ def main():
     for _ in range(2):
         sync(infer(variables, images, windows))
 
+    # Pipelined throughput: keep one batch in flight (dispatch i+1 before
+    # syncing i), exactly like the eval loop (train/workflow.py) — hides the
+    # per-dispatch runtime latency that serving would also hide.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        sync(infer(variables, images, windows))
+    pending = infer(variables, images, windows)
+    for _ in range(iters - 1):
+        nxt = infer(variables, images, windows)
+        sync(pending)
+        pending = nxt
+    sync(pending)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
