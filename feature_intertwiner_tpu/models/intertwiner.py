@@ -281,9 +281,13 @@ class Dev(nn.Module):
         meta_mask = jnp.zeros_like(lvl, dtype=bool)
         for l in meta_levels:
             meta_mask = meta_mask | (lvl == l)
-        small_out = jnp.where(meta_mask[:, None], small_act, 0.0)
-
         train_phase = roi_gt is not None
+        if self.assign_all_scale and not train_phase:
+            # inference merges the big-on-all remainder (lvl 6) into the
+            # level-5 small set (sub_module.py:451-454) so CLS_MERGE_FEAT /
+            # visualize see real critic features for large RoIs too
+            meta_mask = meta_mask | (lvl == 6)
+        small_out = jnp.where(meta_mask[:, None], small_act, 0.0)
         if not train_phase:
             small_gt = meta_mask.astype(jnp.float32)
             return pooled_cls, pooled_mask, {

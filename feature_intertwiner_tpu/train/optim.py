@@ -53,7 +53,13 @@ def trainable_mask(params, layers: str):
 
 def bn_mask(params, exclude_bn: bool = True):
     """Weight-decay mask: False on BatchNorm params (path contains 'bn' —
-    same substring test as the reference, utils.py:486-489)."""
+    the reference's substring test, utils.py:486-489).
+
+    Documented divergence: the reference tests *torch* parameter names, where
+    BNs buried in nn.Sequential (the Dev make-up layers, OT-critic BNs) are
+    numerically indexed and therefore NOT excluded — an artifact of module
+    naming, not intent. Here every BN path contains 'bn', so the stated
+    intent (no L2 on any BN scale/bias) is applied uniformly."""
     if not exclude_bn:
         return _mask_from_predicate(params, lambda p: True)
     return _mask_from_predicate(params, lambda p: "bn" not in p.lower())
@@ -76,9 +82,14 @@ def make_optimizer(cfg, params) -> optax.GradientTransformation:
             optax.scale_by_adam(b1=0.9, b2=0.999),
         )
     if method == "rmsprop":
+        # centered RMSprop like the reference's torch.optim.RMSprop(...,
+        # alpha=0.9, centered=True) (utils.py:498-500; note that branch reads
+        # the nonexistent `opt.lr` there and would crash if ever selected).
+        # optax adds eps inside the sqrt where torch adds it outside —
+        # negligible at eps=1e-8.
         return optax.chain(
             optax.add_decayed_weights(wd),
-            optax.scale_by_rms(decay=0.9),
+            optax.scale_by_stddev(decay=0.9),
             optax.trace(decay=cfg.TRAIN.MOMENTUM),
         )
     raise ValueError(f"unknown optimizer {method!r}")

@@ -53,7 +53,7 @@ def init_buffer(buffer_size: int, num_classes: int, feat_dim: int = 1024):
     )
 
 
-def create_train_state(cfg, variables, layers: str = "all") -> TrainState:
+def create_train_state(cfg, variables) -> TrainState:
     params = variables["params"]
     tx = make_optimizer(cfg, params)
     buf, cnt = init_buffer(
@@ -244,10 +244,16 @@ def make_train_step(model, cfg, layers: str = "all",
                     "rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
                     "mrcnn_bbox_loss", "mrcnn_mask_loss")
             }
-            if dis_reg:  # DEBUG flag: drop regression/mask terms (workflow:188)
-                detailed["rpn_bbox_loss"] = detailed["rpn_bbox_loss"] * 0.0
-                detailed["mrcnn_bbox_loss"] = detailed["mrcnn_bbox_loss"] * 0.0
-                detailed["mrcnn_mask_loss"] = detailed["mrcnn_mask_loss"] * 0.0
+            if dis_reg:
+                # DEBUG flag parity (workflow.py:185-188): the reference
+                # zeroes `detailed_loss.data[i]` IN VALUE ONLY — the autograd
+                # graph is intact, so those heads keep training while the
+                # reported/total value excludes them. x - stop_gradient(x)
+                # reproduces exactly that (value 0, gradient 1).
+                for k in ("rpn_bbox_loss", "mrcnn_bbox_loss",
+                          "mrcnn_mask_loss"):
+                    detailed[k] = detailed[k] - jax.lax.stop_gradient(
+                        detailed[k])
 
             total = sum(detailed.values())
 

@@ -113,6 +113,12 @@ def train_model(trainer: Trainer, loader, layers: str,
     """One stage; epochs covered = cumulative SCHEDULE up to this stage."""
     cfg = trainer.cfg
     stage_name = layers.upper()
+    if trainer.iter > len(loader):
+        # resumed from an end-of-epoch checkpoint (saved at iter==len): roll
+        # into the next epoch instead of draining the whole loader with every
+        # iteration skipped (reference rollover, tools/utils.py:335-339)
+        trainer.epoch += 1
+        trainer.iter = 1
     total_ep = int(np.sum(cfg.TRAIN.SCHEDULE[:STAGE_ORDER[layers]]))
     if trainer.epoch > total_ep:
         print_log(f"skip {stage_name} stage ...", cfg.MISC.LOG_FILE)
@@ -141,7 +147,7 @@ def train_model(trainer: Trainer, loader, layers: str,
                    {"params": trainer.state.params,
                     **({"batch_stats": trainer.state.batch_stats}
                        if trainer.state.batch_stats else {})},
-                   cfg, val_dataset, val_api, during_train=True,
+                   cfg, val_dataset, val_api,
                    epoch=trainer.epoch - 1, mesh=trainer.mesh)
 
 
@@ -192,7 +198,10 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
             continue
         lr = learning_rate(cfg, epoch, it)
         meta_gate = 1.0 if it > do_meta_after else 0.0
-        rng, sub = jax.random.split(rng)
+        # keyed by iteration index (not a sequential split) so a mid-epoch
+        # resume gives iteration N the same sampling key an uninterrupted
+        # run would — skipped iterations consume nothing
+        sub = jax.random.fold_in(rng, it)
 
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                         if k != "image_meta"}
@@ -407,21 +416,26 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
 
 
 def test_model(model, variables, cfg, val_dataset, coco_api,
-               during_train: bool = False, epoch: int = 0,
+               epoch: int = 0,
                limit: Optional[int] = None, eval_masks: bool = False,
                mesh=None):
     """Run COCO evaluation; returns the 12 COCOeval stats (bbox).
 
-    Detections are cached to ``det_result_ep<epoch>.json`` and reused when
-    present (parity: workflow.py:340-350)."""
+    Detections are cached and reused when present (parity:
+    workflow.py:340-350). The cache key includes the evaluated image count
+    and the multi-scale setting — results depend on both, so a
+    ``limit=100`` probe must not be reused for (and silently zero out) a
+    full eval at the same epoch."""
     folder = cfg.MISC.RESULT_FOLDER or "."
     os.makedirs(folder, exist_ok=True)
-    cache = os.path.join(folder, f"det_result_ep{epoch:04d}.json")
     log_file = cfg.MISC.LOG_FILE
 
     image_ids = list(val_dataset.image_ids)
     if limit:
         image_ids = image_ids[:limit]
+    ms_tag = "_ms" if cfg.TEST.MULTI_SCALE else ""
+    cache = os.path.join(
+        folder, f"det_result_ep{epoch:04d}_n{len(image_ids)}{ms_tag}.json")
 
     if os.path.exists(cache):
         print_log(f"loading cached detections: {cache}", log_file)

@@ -134,3 +134,29 @@ def test_bn_learn_updates_batch_stats():
     after = jax.tree_util.tree_leaves(s1.batch_stats)[0]
     assert float(jnp.abs(after - before).max()) > 0, "BN stats must update"
     assert np.isfinite(m["total_loss"])
+
+
+@pytest.mark.slow
+def test_assign_all_scale_inference_merges_big_rois():
+    """At inference with ASSIGN_BOX_ON_ALL_SCALE, RoIs bigger than every
+    level's footprint (lvl 6) merge into the level-5 small set — the
+    reference's `small_ix = ((accu_small_idx == 0) + small_ix) > 0`
+    (sub_module.py:451-454) — so CLS_MERGE/visualize see real features."""
+    from feature_intertwiner_tpu.models.intertwiner import Dev
+
+    dev = Dev(num_classes=8, pool_size=7, mask_pool_size=14,
+              feat_pool_size=14, image_size=128, use_dev=True,
+              upsample_fac=1.0, assign_all_scale=True, loss_choice="l2")
+    rng = np.random.RandomState(0)
+    feats = [jnp.array(rng.randn(1, s, s, 8).astype(np.float32))
+             for s in (32, 16, 8, 4)]
+    # one tiny RoI (small at some level) and one full-image RoI (lvl 6)
+    rois = jnp.array([[[0.1, 0.1, 0.15, 0.15], [0.0, 0.0, 1.0, 1.0]]],
+                     jnp.float32)
+    variables = dev.init(
+        {"params": jax.random.PRNGKey(0)}, feats, rois,
+        roi_gt=jnp.ones((1, 2), jnp.int32), train=True)
+    _, _, feat_out = dev.apply(variables, feats, rois)  # inference
+    small_gt = np.asarray(feat_out["small_gt"])
+    assert small_gt[1] == 1.0, "big-on-all RoI must join the small set"
+    assert np.any(np.asarray(feat_out["small_out"])[1] != 0.0)

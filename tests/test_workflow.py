@@ -86,10 +86,17 @@ def test_train_epoch_and_eval_roundtrip(env):
     stats = run_eval(model, eval_vars, cfg, val, val_api, epoch=1)
     assert stats.shape == (12,)
     # det-result cache written; rerun hits cache
-    cache = os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0001.json")
-    assert os.path.exists(cache)
+    import glob
+    caches = glob.glob(
+        os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0001_n*.json"))
+    assert caches, "expected a det-result cache keyed by epoch+image count"
     stats2 = run_eval(model, eval_vars, cfg, val, val_api, epoch=1)
     np.testing.assert_allclose(stats, stats2)
+    # a different image count must NOT reuse the cache (it would silently
+    # zero the uncached images); the limited run writes its own file
+    run_eval(model, eval_vars, cfg, val, val_api, epoch=1, limit=1)
+    assert glob.glob(
+        os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0001_n1.json"))
 
 
 def test_np_greedy_nms_and_fusion():
@@ -126,8 +133,9 @@ def test_multiscale_eval(env):
     finally:
         cfg.TEST.MULTI_SCALE = []
     assert stats.shape == (12,)
-    cache = os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0077.json")
-    assert os.path.exists(cache)
+    import glob
+    assert glob.glob(os.path.join(
+        cfg.MISC.RESULT_FOLDER, "det_result_ep0077_n*_ms.json"))
 
 
 @pytest.mark.slow
@@ -213,3 +221,18 @@ def test_eval_under_mesh_matches_single_device(env):
                        mesh=mesh)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_end_of_epoch_resume_rolls_over(env):
+    """Resuming from an end-of-epoch checkpoint (iter == len(loader), so the
+    restored iter is len+1) must advance to the next epoch instead of
+    draining the whole loader with every iteration skipped."""
+    from feature_intertwiner_tpu.train.workflow import train_model
+
+    cfg, loader, val, val_api, model, variables = env
+    trainer = Trainer(model, cfg, variables, mesh=None)
+    trainer.epoch, trainer.iter = 1, len(loader) + 1  # end-of-ep-1 restore
+    train_model(trainer, loader, "heads")  # SCHEDULE [1,0,0]: stage ends ep 1
+    assert trainer.epoch == 2 and trainer.iter == 1
+    assert int(trainer.state.step) == 0, "no iterations may run (or be drained)"
