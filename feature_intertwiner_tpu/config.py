@@ -398,11 +398,15 @@ class Config:
                 "dev/big_fc/bias": "classifier/linear_class/bias",
             }
 
-        for key, val in (("TPU.COMPUTE_DTYPE", c.TPU.COMPUTE_DTYPE),
-                         ("TEST.DTYPE", c.TEST.DTYPE)):
-            if val not in ("", "bfloat16", "float32"):
-                raise ValueError(
-                    f"{key} must be 'bfloat16' or 'float32', got {val!r}")
+        if c.TPU.COMPUTE_DTYPE not in ("bfloat16", "float32"):
+            raise ValueError(
+                "TPU.COMPUTE_DTYPE must be 'bfloat16' or 'float32', got "
+                f"{c.TPU.COMPUTE_DTYPE!r}")
+        if c.TEST.DTYPE not in ("", "bfloat16", "float32"):
+            # '' = eval in the training dtype
+            raise ValueError(
+                "TEST.DTYPE must be '', 'bfloat16' or 'float32', got "
+                f"{c.TEST.DTYPE!r}")
 
         c.TPU.MAX_PRE_NMS = int(c.RPN.PRE_NMS_LIMIT)
         self._finalized = True

@@ -174,7 +174,12 @@ class Dataset:
                 continue
             if ann.get("iscrowd", 0):
                 cid = -cid
-                # crowds smaller than the declared box are common; keep as-is
+                # crowd RLEs sometimes embed a size smaller than the image
+                # (real COCO-2014 data); the reference replaces such masks
+                # with a full-image mask (dataset_coco.py:301-304) — without
+                # this, np.stack below crashes on the shape mismatch
+                if m.shape != (h, w):
+                    m = np.ones((h, w), bool)
             masks.append(m)
             class_ids.append(cid)
         if not masks:

@@ -68,14 +68,19 @@ def resize_image(image: np.ndarray, min_dim: Optional[int] = None,
 
 def resize_mask(mask: np.ndarray, scale: float, pad_spec) -> np.ndarray:
     """mask [H, W, N] -> resized+padded (bool)."""
-    if scale != 1.0 and mask.size:
+    if scale != 1.0:
         h, w = mask.shape[:2]
-        out = cv2.resize(mask.astype(np.float32),
-                         (round(w * scale), round(h * scale)),
-                         interpolation=cv2.INTER_LINEAR)
-        if out.ndim == 2:
-            out = out[:, :, None]
-        mask = out >= 0.5
+        if mask.size:
+            out = cv2.resize(mask.astype(np.float32),
+                             (round(w * scale), round(h * scale)),
+                             interpolation=cv2.INTER_LINEAR)
+            if out.ndim == 2:
+                out = out[:, :, None]
+            mask = out >= 0.5
+        else:
+            # N=0: still rescale the canvas so shape[:2] tracks the image
+            mask = np.zeros((round(h * scale), round(w * scale),
+                             mask.shape[-1]), bool)
     mask = np.pad(mask, pad_spec[:mask.ndim], mode="constant")
     return mask.astype(bool)
 

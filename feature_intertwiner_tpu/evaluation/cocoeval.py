@@ -52,10 +52,14 @@ class COCOeval:
         p = self.params
         gts = defaultdict(list)
         dts = defaultdict(list)
+        # use_cats=False: category-agnostic evaluation — every annotation
+        # keys to the single pseudo-category -1 (pycocotools useCats=0)
+        cat_of = ((lambda a: a["category_id"]) if p.use_cats
+                  else (lambda a: -1))
         for ann in self.coco_gt.anns.values():
-            gts[(ann["image_id"], ann["category_id"])].append(ann)
+            gts[(ann["image_id"], cat_of(ann))].append(ann)
         for ann in self.coco_dt.anns.values():
-            dts[(ann["image_id"], ann["category_id"])].append(ann)
+            dts[(ann["image_id"], cat_of(ann))].append(ann)
         self._gts, self._dts = gts, dts
 
     def _compute_iou(self, img_id: int, cat_id: int) -> np.ndarray:
@@ -158,26 +162,28 @@ class COCOeval:
         t0 = time.time()
         self._load_anns()
         p = self.params
+        cat_list = p.cat_ids if p.use_cats else [-1]
         for img_id in p.img_ids:
-            for cat_id in (p.cat_ids if p.use_cats else [-1]):
+            for cat_id in cat_list:
                 self._ious[(img_id, cat_id)] = self._compute_iou(img_id, cat_id)
         self._evals = {}
         for ai, area_rng in enumerate(p.area_rng):
             for img_id in p.img_ids:
-                for cat_id in p.cat_ids:
+                for cat_id in cat_list:
                     self._evals[(img_id, cat_id, ai)] = self._evaluate_img(
                         img_id, cat_id, area_rng, p.max_dets[-1])
         print(f"COCOeval evaluate done in {time.time() - t0:.2f}s")
 
     def accumulate(self):
         p = self.params
+        cat_list = p.cat_ids if p.use_cats else [-1]
         t, r = len(p.iou_thrs), len(p.rec_thrs)
-        k, a, m = len(p.cat_ids), len(p.area_rng), len(p.max_dets)
+        k, a, m = len(cat_list), len(p.area_rng), len(p.max_dets)
         precision = -np.ones((t, r, k, a, m))
         recall = -np.ones((t, k, a, m))
         scores_out = -np.ones((t, r, k, a, m))
 
-        for ki, cat_id in enumerate(p.cat_ids):
+        for ki, cat_id in enumerate(cat_list):
             for ai in range(a):
                 evals = [self._evals.get((img_id, cat_id, ai))
                          for img_id in p.img_ids]

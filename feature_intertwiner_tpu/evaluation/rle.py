@@ -105,12 +105,24 @@ class RLE:
                 _MAX_COUNTS)
             assert m > 0
             return RLE(h, w, out[:m].copy())
-        # fallback: matplotlib-free scanline fill in numpy
-        from matplotlib.path import Path
-
-        ys, xs = np.mgrid[0:h, 0:w]
-        pts = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], 1)
-        mask = Path(xy.reshape(-1, 2)).contains_points(pts).reshape(h, w)
+        # fallback (no compiled library): pure-numpy even-odd ray casting on
+        # a 5x supersampled grid, then any-pooled per pixel — approximates
+        # maskApi's boundary-inclusive 5x-upsampled rasterization
+        # (maskApi.c rleFrPoly) without external dependencies
+        s = 5
+        v = xy.reshape(-1, 2)
+        px = (np.arange(s * w, dtype=np.float64) + 0.5) / s
+        py = (np.arange(s * h, dtype=np.float64) + 0.5) / s
+        x0, y0 = v[:, 0], v[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        inside = np.zeros((s * h, s * w), bool)
+        for e in range(len(x0)):
+            if y0[e] == y1[e]:
+                continue  # horizontal edge: never crosses a horizontal ray
+            crosses = (y0[e] <= py) != (y1[e] <= py)            # [s*h]
+            xint = x0[e] + (py - y0[e]) * (x1[e] - x0[e]) / (y1[e] - y0[e])
+            inside ^= crosses[:, None] & (px[None, :] < xint[:, None])
+        mask = inside.reshape(h, s, w, s).any(axis=(1, 3))
         return RLE.encode(mask)
 
     @staticmethod

@@ -64,13 +64,16 @@ def sinkhorn_ot(
     else:
         marg = weights.reshape(n, 1).astype(x.dtype)
 
-    def step(b, _):
+    def step(carry, _):
+        _, b = carry
         a = marg / (k @ b + EPS)
         b_new = marg / (k.T @ a + EPS)
-        return b_new, None
+        return (a, b_new), None
 
-    b, _ = lax.scan(step, marg, None, length=iters)
-    a = marg / (k @ b + EPS)
+    # the plan pairs the LAST in-loop a (computed from b_{L-1}) with the
+    # final b — exactly the reference's loop exit state (OT_module.py:121-130);
+    # recomputing a from the final b would add half an iteration
+    (a, b), _ = lax.scan(step, (marg, marg), None, length=iters)
     plan = a * k * b.T
     if stop_grad_plan:
         plan = lax.stop_gradient(plan)

@@ -23,7 +23,10 @@ def embed_features(features: np.ndarray, perplexity: float = 30,
     from sklearn.manifold import TSNE
 
     n = len(features)
-    perplexity = min(perplexity, max(2, (n - 1) / 3))
+    if n <= 1:
+        # sklearn requires perplexity < n_samples; 0-1 detections can't embed
+        return np.zeros((n, n_components))
+    perplexity = min(perplexity, max(1.0, (n - 1) / 3))
     ts = TSNE(n_components=n_components, perplexity=perplexity,
               metric=metric, random_state=seed, init="pca")
     return ts.fit_transform(np.asarray(features, np.float64))

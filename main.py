@@ -37,6 +37,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.synthetic_data:
+        # must reach build_config BEFORE finalize(): QUICK_VERIFY derives
+        # SHOW_INTERVAL/SAVE_FREQ_WITHIN_EPOCH there; prepended so explicit
+        # user opts still win
+        args.opts = ["CTRL.QUICK_VERIFY", "True"] + (args.opts or [])
 
     from feature_intertwiner_tpu.config import build_config
     cfg = build_config(
@@ -77,7 +82,6 @@ def main():
     if args.synthetic_data:
         from feature_intertwiner_tpu.data import synthetic
         synthetic.generate(data_root, num_images=8)
-        cfg.CTRL.QUICK_VERIFY = True
 
     print_log(f"devices: {jax.devices()}", cfg.MISC.LOG_FILE, init=True)
     cfg.display(lambda msg: print_log(msg, cfg.MISC.LOG_FILE,

@@ -91,3 +91,19 @@ def test_shipped_config_recipes_parse():
     for f in files:
         cfg = build_config(config_file=f)
         assert cfg.DATA.IMAGE_MAX_DIM > 0
+
+
+def test_quick_verify_opt_derives_logging_cadence():
+    """CTRL.QUICK_VERIFY passed as a CLI opt (the --synthetic_data path)
+    must reach finalize() and derive the quick logging/saving cadence."""
+    from feature_intertwiner_tpu.config import build_config
+    cfg = build_config(opts=["CTRL.QUICK_VERIFY", "True"])
+    assert cfg.CTRL.SHOW_INTERVAL == 5
+    assert cfg.TRAIN.SAVE_FREQ_WITHIN_EPOCH == 2
+
+
+def test_compute_dtype_validation_rejects_empty():
+    from feature_intertwiner_tpu.config import build_config
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_config(opts=["TPU.COMPUTE_DTYPE", "''"])

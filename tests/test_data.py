@@ -181,3 +181,39 @@ def test_augmentation_varies_across_epochs(coco_root):
     # across epochs the flip augmentation must differ for at least one image
     diffs = [not np.array_equal(imgs[1], imgs[e]) for e in (2, 3, 4)]
     assert any(diffs), "augmentation is frozen across epochs"
+
+
+def test_load_mask_crowd_size_mismatch(coco_root):
+    """Crowd RLEs with an embedded size smaller than the image must not
+    crash load_mask — the reference substitutes a full-image mask
+    (dataset_coco.py:301-304)."""
+    import os
+    from feature_intertwiner_tpu.evaluation.rle import RLE
+
+    ds = Dataset()
+    ds.load_coco(
+        os.path.join(coco_root, "annotations", "instances_minival2014.json"),
+        os.path.join(coco_root, "val2014"))
+    ds.prepare()
+    info = ds.image_info[0]
+    h, w = info["height"], info["width"]
+    small = RLE.encode(np.ones((h // 2, w // 2), bool))
+    info["annotations"] = list(info["annotations"]) + [{
+        "category_id": info["annotations"][0]["category_id"],
+        "iscrowd": 1,
+        "segmentation": {"size": [h // 2, w // 2],
+                         "counts": small.counts.tolist()},
+    }]
+    mask, cls = ds.load_mask(0)
+    assert mask.shape[:2] == (h, w)
+    assert (cls < 0).sum() == 1  # the crowd is present, negative id
+
+
+def test_resize_mask_empty_keeps_canvas_shape():
+    mask = np.zeros((100, 140, 0), bool)
+    img = np.zeros((100, 140, 3), np.uint8)
+    out_img, window, scale, pad = T.resize_image(img, min_dim=96, max_dim=128,
+                                                 padding=True)
+    out = T.resize_mask(mask, scale, pad)
+    assert out.shape[:2] == out_img.shape[:2]
+    assert out.shape[2] == 0

@@ -244,3 +244,52 @@ def test_matching_vectorized_vs_loop_oracle():
             out["dt_ignore"],
             dig_p | ((dm_p == -1) & np.zeros((1, d), bool)),
             err_msg=f"trial {trial}")
+
+
+def test_cocoeval_use_cats_false(tmp_path):
+    """Category-agnostic evaluation (pycocotools useCats=0): perfect boxes
+    under the WRONG category still score AP 1.0."""
+    path, gt = _toy_dataset(tmp_path)
+    coco = COCO(path)
+    results = []
+    for img_id, items in gt.items():
+        for cat, bb in items:
+            wrong_cat = 1 if cat != 1 else 2
+            results.append({"image_id": img_id, "category_id": wrong_cat,
+                            "bbox": list(bb), "score": 0.9})
+    dt = coco.loadRes(results)
+    ev = COCOeval(coco, dt, "bbox")
+    ev.params.use_cats = False
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    np.testing.assert_allclose(stats[0], 1.0, atol=1e-6)
+    # sanity: with categories ON the same detections score 0
+    ev2 = COCOeval(coco, dt, "bbox")
+    ev2.evaluate()
+    ev2.accumulate()
+    stats2 = ev2.summarize()
+    assert stats2[0] < 0.2
+
+
+def test_polygon_fallback_matches_native(rng, monkeypatch):
+    """The pure-numpy even-odd rasterizer approximates the native one: IoU
+    against it must be high for generic convex polygons."""
+    import feature_intertwiner_tpu.evaluation.rle as rle_mod
+    if rle_mod._LIB is None:
+        pytest.skip("native maskrle not built; nothing to compare against")
+    # a few random convex polygons (triangle fans around a center)
+    for t in range(3):
+        c = rng.uniform(15, 25, 2)
+        angles = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        radii = rng.uniform(5, 12, 6)
+        pts = np.stack([c[0] + radii * np.cos(angles),
+                        c[1] + radii * np.sin(angles)], 1)  # (x, y)
+        poly = pts.reshape(-1).tolist()
+        native = RLE.from_poly(poly, 40, 40).decode()
+        monkeypatch.setattr(rle_mod, "_LIB", None)
+        fallback = RLE.from_poly(poly, 40, 40).decode()
+        monkeypatch.undo()
+        inter = np.logical_and(native, fallback).sum()
+        union = np.logical_or(native, fallback).sum()
+        assert union > 0 and inter / union > 0.85, (t, inter, union)

@@ -76,3 +76,11 @@ def test_phase_timer_and_memory_probe(capsys):
 
     memory_probe(lambda x: x * 2, jnp.ones(8), iters=2, log_fn=lines.append)
     assert any("[memory]" in l for l in lines)
+
+
+def test_tsne_degenerate_sample_counts():
+    from feature_intertwiner_tpu.utils.tsne import embed_features
+    assert embed_features(np.zeros((0, 8))).shape == (0, 2)
+    assert embed_features(np.zeros((1, 8))).shape == (1, 2)
+    out = embed_features(np.random.RandomState(0).randn(2, 8))
+    assert out.shape == (2, 2) and np.isfinite(out).all()
