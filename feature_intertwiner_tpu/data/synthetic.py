@@ -42,8 +42,11 @@ def generate(root: str, num_images: int = 8, size: Tuple[int, int] = (240, 320),
         n = rng.randint(1, max_instances + 1)
         for _ in range(n):
             cat = int(rng.randint(1, len(CATEGORIES) + 1))
-            bw = int(rng.randint(30, w // 2))
-            bh = int(rng.randint(30, h // 2))
+            # object sizes adapt to small canvases (w//2 <= 30 would make
+            # randint(30, w//2) raise); floor of 8px keeps shapes visible
+            lo_w, lo_h = min(30, max(8, w // 4)), min(30, max(8, h // 4))
+            bw = int(rng.randint(lo_w, max(w // 2, lo_w + 1)))
+            bh = int(rng.randint(lo_h, max(h // 2, lo_h + 1)))
             x0 = int(rng.randint(0, w - bw))
             y0 = int(rng.randint(0, h - bh))
             color = rng.randint(90, 255, 3)

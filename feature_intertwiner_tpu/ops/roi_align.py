@@ -169,8 +169,8 @@ def crop_and_resize_separable(
     """
     n, h, w, c = images.shape
     ch, cw = crop_size
-    wy = _interp_matrix(boxes[:, 0:1], boxes[:, 2:3], ch, h, h)  # [N, ch, H]
-    wx = _interp_matrix(boxes[:, 1:2], boxes[:, 3:4], cw, w, w)  # [N, cw, W]
+    wy = _interp_matrix(boxes[:, 0:1], boxes[:, 2:3], ch, h)  # [N, ch, H]
+    wx = _interp_matrix(boxes[:, 1:2], boxes[:, 3:4], cw, w)  # [N, cw, W]
     tmp = jnp.einsum("nih,nhwc->niwc", wy, images)
     out = jnp.einsum("niwc,njw->nijc", tmp, wx)
     if extrapolation_value != 0.0:
@@ -433,7 +433,7 @@ def crop_and_resize_pallas(
 # ---------------------------------------------------------------------------
 # 3b. Vectorized two-matmul Pallas kernel (the fast path)
 # ---------------------------------------------------------------------------
-def _interp_matrix(c0, c1, crop, dim, dim_cols):
+def _interp_matrix(c0, c1, crop, dim):
     """Per-box 2-tap interpolation matrices, vectorized over the box tile.
 
     c0, c1: [BT, 1] normalized start/end; returns [BT, crop, dim] f32 with
@@ -478,8 +478,8 @@ def _roi_align_matmul_kernel(boxes_ref, image_ref, out_ref, *, crop_h, crop_w):
     y2 = boxes_ref[0, :, 2:3]
     x2 = boxes_ref[0, :, 3:4]
 
-    ymat = _interp_matrix(y1, y2, crop_h, h, h)                 # [BT, ch, H]
-    xmat = _interp_matrix(x1, x2, crop_w, w, w)                 # [BT, cw, W]
+    ymat = _interp_matrix(y1, y2, crop_h, h)                    # [BT, ch, H]
+    xmat = _interp_matrix(x1, x2, crop_w, w)                    # [BT, cw, W]
 
     img = image_ref[0, 0].astype(jnp.float32).reshape(h, w * ct)
     rows = jax.lax.dot_general(

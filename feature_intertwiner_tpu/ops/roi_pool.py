@@ -13,13 +13,15 @@ Semantics parity with the reference CUDA kernel
   reference's per-element argmax-rescan backward, roi_pooling_kernel.cu:128-203).
 
 TPU formulation: window extents are data-dependent, so the max is computed
-over a **static** ``window_cap × window_cap`` sample grid per bin with
-masking. ``window_cap`` bounds the largest bin the op can represent exactly:
-a bin spans ``ceil(roi_extent / pooled_size) + 1`` cells at most, so
-``window_cap=W_CAP`` is exact for RoIs up to ``pooled_size · (W_CAP - 1)``
-cells — with FPN level assignment (RoIs are a bounded number of cells at
-their assigned level) the default cap of 8 is exact for every assigned RoI;
-raise it if pooling arbitrary RoIs at fine levels.
+over a **static** ``window_cap × window_cap`` sample grid per bin. Samples
+are spread evenly across the bin window (``start + k·(span−1)//(cap−1)``):
+for bins spanning ≤ ``window_cap`` cells every cell is sampled — the max is
+EXACT — and wider bins degrade to an evenly-strided subsampled max that
+always covers both window endpoints (never a truncated prefix). With FPN
+level assignment the default cap of 8 is exact for every RoI pooled at its
+assigned level; the intertwiner's cross-level "big" pooling (large RoIs on
+fine maps) can exceed it and gets the strided approximation — raise
+``window_cap`` there if exactness matters more than the K² gather cost.
 """
 
 from __future__ import annotations
@@ -93,12 +95,24 @@ def roi_pool(
     flat = features.reshape(b * h * w, c)
     base = batch_idx * (h * w)                                            # [N]
 
+    # evenly-strided sample offsets: exact for span <= cap (hits every cell
+    # since the increment (span-1)/(cap-1) <= 1), full-window strided max
+    # beyond (both endpoints always sampled)
     k = jnp.arange(window_cap)
-    ys = hstart[:, :, None] + k[None, None, :]                            # [N, ph, K]
-    ys_valid = ys < hend[:, :, None]
+
+    def offsets(start, end):
+        span = (end - start)[:, :, None]                      # [N, P, 1]
+        if window_cap > 1:
+            off = (k[None, None, :] * jnp.maximum(span - 1, 0)) // (
+                window_cap - 1)
+        else:
+            off = jnp.zeros_like(span) * k[None, None, :]
+        pos = start[:, :, None] + off                         # [N, P, K]
+        return pos, pos < end[:, :, None]
+
+    ys, ys_valid = offsets(hstart, hend)
     ys = jnp.clip(ys, 0, h - 1)
-    xs = wstart[:, :, None] + k[None, None, :]                            # [N, pw, K]
-    xs_valid = xs < wend[:, :, None]
+    xs, xs_valid = offsets(wstart, wend)
     xs = jnp.clip(xs, 0, w - 1)
 
     # Gather the full [N, ph, K, pw, K, C] sample block in one take.

@@ -31,11 +31,15 @@ import jax.numpy as jnp
 from . import boxes as box_ops
 from .roi_align import crop_and_resize_separable
 
-BIG = 1e9
 
-
-def _random_topk_mask(key, eligible: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+def _random_topk_mask(key, eligible: jax.Array, k: int,
+                      budget=None) -> Tuple[jax.Array, jax.Array]:
     """Pick up to ``k`` random elements of ``eligible`` (bool [N]).
+
+    The k highest of N iid uniform scores are a uniform random k-subset, and
+    ``top_k`` (k ≤ a few hundred) over large N is far cheaper than a full
+    argsort+rank formulation (scripts/profile_targets2.py). ``budget``
+    (traced scalar, ≤ k) further caps the number selected.
 
     Returns (idx [k] int32, valid [k] bool). Deterministic given key.
     """
@@ -45,8 +49,19 @@ def _random_topk_mask(key, eligible: jax.Array, k: int) -> Tuple[jax.Array, jax.
     if k_eff < k:  # fewer candidates than the static budget: pad
         idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
     count = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)), k_eff)
+    if budget is not None:
+        count = jnp.minimum(count, budget)
     valid = jnp.arange(k) < count
     return idx.astype(jnp.int32), valid
+
+
+def _random_keep_mask(key, eligible: jax.Array, k: int, budget=None) -> jax.Array:
+    """Dense [N] bool variant of :func:`_random_topk_mask`.
+
+    max-scatter, not set: when k > N the idx vector is padded with zeros
+    whose valid=False entries must not clobber a selected element 0."""
+    idx, valid = _random_topk_mask(key, eligible, k, budget)
+    return jnp.zeros(eligible.shape, bool).at[idx].max(valid)
 
 
 class RPNTargets(NamedTuple):
@@ -96,31 +111,18 @@ def rpn_targets(
         match = jnp.where(force, 1, match)
         match = jnp.where(anchor_iou_max >= pos_thresh, 1, match)
 
-        # Random subsampling via top_k over uniform scores: the k highest of
-        # N iid uniforms are a uniform random k-subset, and top_k(k≤256) over
-        # the 262k anchors is ~9x cheaper than the full argsort+rank-scatter
-        # formulation (3.8ms vs 15ms per step at B=8, scripts/profile_targets2.py).
-        def _random_keep(k2, elig, cap, budget=None):
-            cap = min(cap, elig.shape[0])
-            scores = jnp.where(elig, jax.random.uniform(k2, elig.shape), -1.0)
-            _, idx = jax.lax.top_k(scores, cap)
-            limit = jnp.minimum(jnp.sum(elig.astype(jnp.int32)), cap)
-            if budget is not None:
-                limit = jnp.minimum(limit, budget)
-            valid = jnp.arange(cap) < limit
-            return jnp.zeros(elig.shape, bool).at[idx].set(valid)
-
-        # subsample positives to <= half
+        # subsample positives to <= half (random k-subset via top_k)
         k_pos, k_neg = jax.random.split(k1)
         pos = match == 1
-        keep_pos = _random_keep(k_pos, pos, half)
+        keep_pos = _random_keep_mask(k_pos, pos, half)
         match = jnp.where(pos & ~keep_pos, 0, match)
 
         # subsample negatives to fill the budget
         n_pos_kept = jnp.sum((match == 1).astype(jnp.int32))
         budget = train_anchors_per_image - n_pos_kept
         neg = match == -1
-        keep_neg = _random_keep(k_neg, neg, train_anchors_per_image, budget)
+        keep_neg = _random_keep_mask(
+            k_neg, neg, train_anchors_per_image, budget)
         match = jnp.where(neg & ~keep_neg, 0, match)
 
         # per-anchor deltas toward the argmax GT (valid for positives)

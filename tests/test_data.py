@@ -217,3 +217,13 @@ def test_resize_mask_empty_keeps_canvas_shape():
     out = T.resize_mask(mask, scale, pad)
     assert out.shape[:2] == out_img.shape[:2]
     assert out.shape[2] == 0
+
+
+def test_synthetic_small_canvas(tmp_path):
+    """generate() must work for small smoke-test canvases (objects scale)."""
+    root = str(tmp_path / "small")
+    synthetic.generate(root, num_images=2, size=(48, 56), seed=0)
+    import os, json
+    ann = json.load(open(os.path.join(
+        root, "annotations", "instances_minival2014.json")))
+    assert len(ann["images"]) == 2 and len(ann["annotations"]) > 0

@@ -64,3 +64,33 @@ def test_make_roi_pool_input():
     boxes = jnp.array([[0.1, 0.2, 0.5, 0.6]])
     out = np.asarray(make_roi_pool_input(boxes, jnp.array([3]), 1024.0))
     np.testing.assert_allclose(out, [[3, 204.8, 102.4, 614.4, 512.0]], rtol=1e-6)
+
+
+def test_oversized_bins_cover_full_window():
+    """Bins wider than window_cap use evenly-strided sampling that always
+    reaches the window END — the old prefix-truncated sampling returned the
+    max of only the first `cap` cells."""
+    import jax.numpy as jnp
+    from feature_intertwiner_tpu.ops.roi_pool import roi_pool
+
+    h = w = 64
+    feat = np.zeros((1, h, w, 1), np.float32)
+    feat[0, h - 1, w - 1, 0] = 100.0  # max in the very last cell
+    # one RoI covering the whole map, pooled 1x1: bin spans 64 > cap 8
+    rois = jnp.array([[0, 0, 0, w - 1, h - 1]], jnp.float32)
+    out = np.asarray(roi_pool(jnp.array(feat), rois, 1.0, (1, 1),
+                              window_cap=8))
+    assert out[0, 0, 0, 0] == 100.0
+
+    # exactness still holds for spans <= cap: random map, RoI of 8x8 cells
+    rng = np.random.RandomState(0)
+    feat2 = rng.randn(1, h, w, 3).astype(np.float32)
+    rois2 = jnp.array([[0, 10, 20, 17, 27]], jnp.float32)  # 8x8 cells
+    out2 = np.asarray(roi_pool(jnp.array(feat2), rois2, 1.0, (2, 2),
+                               window_cap=8))
+    win = feat2[0, 20:28, 10:18]
+    expect = np.stack([
+        [win[0:4, 0:4].max(0).max(0), win[0:4, 4:8].max(0).max(0)],
+        [win[4:8, 0:4].max(0).max(0), win[4:8, 4:8].max(0).max(0)],
+    ])
+    np.testing.assert_allclose(out2[0], expect, atol=1e-6)
