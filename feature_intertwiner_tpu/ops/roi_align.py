@@ -40,9 +40,19 @@ Replaces the reference's C/CUDA extension
    custom_vjp → (1). :func:`crop_and_resize_pallas_mm` is a vectorized
    two-matmul variant (y-interp as one [BT·ch, H] MXU matmul).
 
-   Mosaic/TPU constraints discovered on hardware (kept as the roadmap for
-   making the Pallas path the default — the XLA fused gather (2) is the
-   production path today). NOTE: under the current libtpu,
+   Measured on hardware (v5e, scripts/profile_pallas_ra.py, B=8, 1024 RoIs,
+   7², 256², 256ch bf16): the kernel compiles and is bit-correct but runs
+   ~2.6× SLOWER than the XLA gather (49 vs 21 ms) — the sequential
+   per-box/per-row fori_loop issues thousands of tiny [crop_w, W] matmuls
+   and is latency-bound (box/channel tile shape has no effect). Batching
+   rows across boxes into one big MXU matmul is exactly what
+   ``crop_and_resize_pallas_mm`` does, and that formulation no longer
+   lowers (below). The XLA fused gather (2) remains the production path;
+   these kernels are kept as correctness references and a base for future
+   toolchains.
+
+   Mosaic/TPU constraints discovered on hardware. NOTE: under the current
+   libtpu,
    ``crop_and_resize_pallas_mm`` no longer compiles on hardware (Mosaic
    "infer-vector-layout: unsupported shape cast" on the ``[H,W,CT]→[H,W·CT]``
    reshape that earlier toolchains accepted); it remains correct in
