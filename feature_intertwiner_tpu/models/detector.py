@@ -235,12 +235,13 @@ class InterNet(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, images, mode: str = "inference", gt_class_ids=None,
                  gt_boxes=None, gt_masks=None, windows=None,
-                 train_bn: bool = False):
+                 train_bn: bool = False, with_masks: bool = True):
         if mode == "train":
             return self.forward_train(images, gt_class_ids, gt_boxes, gt_masks,
                                       train_bn=train_bn)
         if mode == "inference":
-            return self.forward_inference(images, windows)
+            return self.forward_inference(images, windows,
+                                          with_masks=with_masks)
         if mode == "visualize":
             return self.forward_inference(images, windows, with_features=True)
         raise ValueError(f"unknown mode {mode!r}")
@@ -318,11 +319,14 @@ class InterNet(nn.Module):
         return out
 
     # ------------------------------------------------------------------
-    def forward_inference(self, images, windows, with_features: bool = False):
+    def forward_inference(self, images, windows, with_features: bool = False,
+                          with_masks: bool = True):
         """windows [B,4] pixel (y1,x1,y2,x2) un-padded region per sample.
 
-        Returns dict(detections [B,M,6], masks [B,M,mh,mw,K]); visualize mode
-        returns dict(detections, features [B,M,1024]) without the mask branch
+        Returns dict(detections [B,M,6], masks [B,M,mh,mw] — each detection's
+        own-class slice, selected on device); ``with_masks=False`` skips the
+        mask branch (bbox-only eval); visualize mode returns
+        dict(detections, features [B,M,1024]) without the mask branch
         (parity: lib/model.py:315-367).
         """
         b = images.shape[0]
@@ -361,6 +365,10 @@ class InterNet(nn.Module):
             out_feat = out_feat * keep_valid[..., None].astype(out_feat.dtype)
             return {"detections": detections, "features": out_feat}
 
+        if not with_masks:
+            # bbox-only evaluation: skip the mask pooling + head entirely
+            return {"detections": detections}
+
         det_boxes = detections[..., :4] / jnp.array(
             [self.image_size] * 4, jnp.float32)
         _, pooled_mask, _ = self.dev(maps, det_boxes, roi_gt=None, train=False,
@@ -369,4 +377,11 @@ class InterNet(nn.Module):
         masks = self.mask(pooled_mask)
         mh, mw = self.mask_shape
         masks = masks.reshape(b, self.det_max_instances, mh, mw, self.num_classes)
-        return {"detections": detections, "masks": masks}
+        # select each detection's class slice ON DEVICE: the host only ever
+        # consumes masks[i, :, :, class_i] (unmold_detections), and shipping
+        # [B, M, mh, mw, K] over D2H is K x the needed bytes — with K=81 that
+        # transfer dominated end-to-end eval (~813MB/chunk at batch 32)
+        cls_sel = detections[..., 4].astype(jnp.int32)          # [B, M]
+        masks = jnp.take_along_axis(
+            masks, cls_sel[:, :, None, None, None], axis=-1)[..., 0]
+        return {"detections": detections, "masks": masks}       # [B,M,mh,mw]

@@ -69,7 +69,8 @@ def make_parallel_train_step(model, cfg, layers: str, mesh: Mesh):
     return jax.jit(sharded_step, donate_argnums=(0,))
 
 
-def make_parallel_eval_step(model, mesh: Mesh, mode: str = "inference"):
+def make_parallel_eval_step(model, mesh: Mesh, mode: str = "inference",
+                            with_masks: bool = True):
     """Jitted SPMD inference step: batch sharded, outputs sharded."""
 
     @functools.partial(
@@ -79,6 +80,8 @@ def make_parallel_eval_step(model, mesh: Mesh, mode: str = "inference"):
         check_vma=False,
     )
     def sharded_eval(variables, images, windows):
-        return model.apply(variables, images, mode=mode, windows=windows)
+        kw = {"with_masks": with_masks} if mode == "inference" else {}
+        return model.apply(variables, images, mode=mode, windows=windows,
+                           **kw)
 
     return jax.jit(sharded_eval)

@@ -297,8 +297,9 @@ def unmold_detections(detections, masks, original_shape, window, cfg):
         if masks is None:
             full_masks.append(None)
             continue
-        m = masks[i, :, :, class_ids[i]]
-        full_masks.append(T.unmold_mask(m, boxes[i], original_shape))
+        # masks are the per-detection own-class slices [M, mh, mw]
+        # (class-selected on device, forward_inference)
+        full_masks.append(T.unmold_mask(masks[i], boxes[i], original_shape))
     return boxes, class_ids, scores, full_masks
 
 
@@ -360,7 +361,7 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
         bs = max(bs, n_dev)
         bs += (-bs) % n_dev  # shardable chunk size
         from ..parallel import make_parallel_eval_step, replicate, shard_batch
-        eval_step = make_parallel_eval_step(model, mesh)
+        eval_step = make_parallel_eval_step(model, mesh, with_masks=eval_masks)
         variables = replicate(variables, mesh)
 
         def infer(v, im, win):
@@ -369,7 +370,8 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
     else:
         @jax.jit
         def infer(v, im, win):
-            return model.apply(v, im, mode="inference", windows=win)
+            return model.apply(v, im, mode="inference", windows=win,
+                               with_masks=eval_masks)
 
     def prepare(start):
         chunk = image_ids[start:start + bs]
@@ -386,10 +388,13 @@ def _detect_images(model, variables, cfg, val_dataset, image_ids,
         """D2H + unmold one chunk (runs while the device computes the next)."""
         out = jax.device_get(dev_out)
         dets = np.asarray(out["detections"], np.float32)
-        masks = np.asarray(out["masks"], np.float32)
+        # bbox-only eval never computes masks; with masks, the transfer is
+        # the class-selected [B, M, mh, mw] (see forward_inference)
+        masks = (np.asarray(out["masks"], np.float32)
+                 if eval_masks else None)
         for k, img_idx in enumerate(chunk):
             boxes, class_ids, scores, full_masks = unmold_detections(
-                dets[k], masks[k] if eval_masks else None,
+                dets[k], masks[k] if masks is not None else None,
                 images[k].shape, windows[k], cfg)
             yield (img_idx, images[k], boxes, class_ids, scores, full_masks)
 

@@ -89,8 +89,14 @@ def test_inference_forward(model_and_params):
     assert det.shape == (1, 8, 6)
     assert np.isfinite(det).all()
     masks = np.asarray(out["masks"])
-    assert masks.shape == (1, 8, 28, 28, 8)
+    # per-detection own-class slice, selected on device (D2H is K x smaller)
+    assert masks.shape == (1, 8, 28, 28)
     assert (masks >= 0).all() and (masks <= 1).all()
+    # bbox-only eval skips the mask branch entirely
+    out2 = model.apply(variables, images, mode="inference", windows=windows,
+                       with_masks=False)
+    assert "masks" not in out2
+    np.testing.assert_allclose(np.asarray(out2["detections"]), det)
     # valid detections have class > 0 and in-bounds boxes
     valid = det[..., 5] > 0
     assert (det[..., :4][valid] >= 0).all()
