@@ -60,8 +60,12 @@ class Trainer:
                 self._steps[layers] = make_parallel_train_step(
                     self.model, self.cfg, layers, self.mesh)
             else:
+                # donate the state: params/opt-state/buffer update in place
+                # instead of costing a second copy of ~2x the model footprint
+                # in HBM each step (the SPMD step donates the same way)
                 self._steps[layers] = jax.jit(
-                    make_train_step(self.model, self.cfg, layers))
+                    make_train_step(self.model, self.cfg, layers),
+                    donate_argnums=(0,))
         return self._steps[layers]
 
     def resume(self):
