@@ -68,7 +68,8 @@ def bench_train(batch, iters, size, backbone, dtype):
         gt_class_ids=data["gt_class_ids"][:1],
         gt_boxes=data["gt_boxes"][:1], gt_masks=data["gt_masks"][:1]))()
     state = create_train_state(cfg, variables)
-    step = jax.jit(make_train_step(model, cfg, "all"))
+    # donated like the production Trainer path (in-place state update)
+    step = jax.jit(make_train_step(model, cfg, "all"), donate_argnums=(0,))
 
     state, metrics = step(state, data, jnp.float32(1e-3), jnp.float32(1.0),
                           jax.random.PRNGKey(2))
