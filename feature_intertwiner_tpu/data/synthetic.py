@@ -43,12 +43,14 @@ def generate(root: str, num_images: int = 8, size: Tuple[int, int] = (240, 320),
         for _ in range(n):
             cat = int(rng.randint(1, len(CATEGORIES) + 1))
             # object sizes adapt to small canvases (w//2 <= 30 would make
-            # randint(30, w//2) raise); floor of 8px keeps shapes visible
-            lo_w, lo_h = min(30, max(8, w // 4)), min(30, max(8, h // 4))
+            # randint(30, w//2) raise); the floor is capped at w//2 so
+            # bw < w always holds and the position draw below stays valid
+            lo_w = max(2, min(30, w // 4, w // 2 - 1))
+            lo_h = max(2, min(30, h // 4, h // 2 - 1))
             bw = int(rng.randint(lo_w, max(w // 2, lo_w + 1)))
             bh = int(rng.randint(lo_h, max(h // 2, lo_h + 1)))
-            x0 = int(rng.randint(0, w - bw))
-            y0 = int(rng.randint(0, h - bh))
+            x0 = int(rng.randint(0, max(w - bw, 1)))
+            y0 = int(rng.randint(0, max(h - bh, 1)))
             color = rng.randint(90, 255, 3)
             if cat == 1:      # filled rectangle
                 canvas[y0:y0 + bh, x0:x0 + bw] = color

@@ -46,6 +46,10 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        # own a copy of the caller's variables: the train step donates the
+        # state, and donating buffers that alias the caller's `variables`
+        # would silently delete them out from under the caller
+        variables = jax.tree_util.tree_map(jnp.copy, variables)
         self.state = create_train_state(cfg, variables)
         self.epoch = 1
         self.iter = 1
@@ -84,7 +88,11 @@ class Trainer:
             print_log(f"resumed from {path} (ep {epoch}, iter {it})",
                       self.cfg.MISC.LOG_FILE)
             if self.cfg.TRAIN.FORCE_START_EPOCH:
+                # a forced epoch starts from its beginning — keeping the
+                # restored mid-epoch iter would skip that epoch's head (or
+                # trip the end-of-epoch rollover and skip it entirely)
                 self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
+                self.iter = 1
         elif path:
             # pretrained weights, not a training checkpoint: overlay with
             # strict=False reporting (parity: utils.py:321-325,434-443 load
@@ -454,9 +462,17 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
     image_ids = list(val_dataset.image_ids)
     if limit:
         image_ids = image_ids[:limit]
-    ms_tag = "_ms" if cfg.TEST.MULTI_SCALE else ""
-    cache = os.path.join(
-        folder, f"det_result_ep{epoch:04d}_n{len(image_ids)}{ms_tag}.json")
+    # cache key carries everything the results depend on: image count,
+    # mask mode (a bbox-only cache has no 'segmentation' fields), the eval
+    # dtype, and the exact multi-scale list
+    tags = f"_n{len(image_ids)}"
+    if eval_masks:
+        tags += "_masks"
+    if cfg.TEST.DTYPE:
+        tags += f"_{cfg.TEST.DTYPE}"
+    if cfg.TEST.MULTI_SCALE:
+        tags += "_ms" + "-".join(str(int(s)) for s in cfg.TEST.MULTI_SCALE)
+    cache = os.path.join(folder, f"det_result_ep{epoch:04d}{tags}.json")
 
     if os.path.exists(cache):
         print_log(f"loading cached detections: {cache}", log_file)

@@ -20,21 +20,11 @@ REPS = int(os.environ.get("REPS", "5"))
 SIZES = [(256, 256), (128, 128), (64, 64), (32, 32)]
 
 
+from _bench import scan_time as _scan_time
+
+
 def scan_time(name, body, *ops):
-    """body(carry, i, *ops). ops are passed as jit ARGUMENTS, not captured —
-    captured arrays embed as HLO constants and overflow the remote-compile
-    request (HTTP 413) at these sizes."""
-    @jax.jit
-    def run(*ops_):
-        def step(c, i):
-            return body(c, i, *ops_), ()
-        c, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(REPS))
-        return c
-    np.asarray(run(*ops))
-    t0 = time.perf_counter()
-    np.asarray(run(*ops)); np.asarray(run(*ops))
-    dt = (time.perf_counter() - t0) / 2
-    print(f"{name:52s} {dt/REPS*1e3:8.2f} ms/rep")
+    return _scan_time(name, body, *ops, reps=REPS)
 
 
 def main():

@@ -1,6 +1,7 @@
 """On-hardware comparison: Pallas VMEM-resident RoIAlign vs XLA gather.
 
-Single-level P2-like shapes at inference scale (B=8, 1000 RoIs, 7x7).
+Single-level P2-like shapes at inference scale (B=8, 1024 RoIs, 7x7;
+N must divide by the Pallas box tiles or those configs are skipped).
 """
 
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E401,E702
@@ -15,28 +16,17 @@ from feature_intertwiner_tpu.ops.roi_align import (
     crop_and_resize, crop_and_resize_pallas)
 
 B = int(os.environ.get("B", "8"))
-N = int(os.environ.get("N", "1000"))
+N = int(os.environ.get("N", "1024"))  # divisible by the Pallas box tiles
 H = W = int(os.environ.get("S", "256"))
 C = 256
 REPS = int(os.environ.get("REPS", "5"))
 
 
+from _bench import scan_time as _scan_time
+
+
 def scan_time(name, body, *ops):
-    @jax.jit
-    def run(*ops_):
-        def step(c, i):
-            return body(c, i, *ops_), ()
-        c, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(REPS))
-        return c
-    try:
-        np.asarray(run(*ops))
-    except Exception as e:
-        print(f"{name:44s} FAILED: {type(e).__name__}: {str(e)[:200]}")
-        return
-    t0 = time.perf_counter()
-    np.asarray(run(*ops)); np.asarray(run(*ops))
-    dt = (time.perf_counter() - t0) / 2
-    print(f"{name:44s} {dt/REPS*1e3:8.2f} ms/rep")
+    return _scan_time(name, body, *ops, reps=REPS)
 
 
 def main():

@@ -21,22 +21,11 @@ B, A, G, P = 8, 261888, 100, 1000
 REPS = int(os.environ.get("REPS", "10"))
 
 
-def scan_time(name, body, init_carry):
-    """body(carry, i) -> carry (all on device). Returns per-rep ms."""
-    @jax.jit
-    def run(c0):
-        def step(c, i):
-            return body(c, i), ()
-        c, _ = jax.lax.scan(step, c0, jnp.arange(REPS))
-        return jax.tree_util.tree_reduce(
-            lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)), c, 0.0)
-    np.asarray(run(init_carry))
-    t0 = time.perf_counter()
-    np.asarray(run(init_carry))
-    np.asarray(run(init_carry))
-    dt = (time.perf_counter() - t0) / 2
-    print(f"{name:46s} {dt/REPS*1e3:8.2f} ms/rep   ({dt*1e3:7.1f} ms total)")
-    return dt / REPS
+from _bench import scan_time as _scan_time
+
+
+def scan_time(name, body, init_carry=None):
+    return _scan_time(name, body, reps=REPS)
 
 
 def main():

@@ -17,18 +17,11 @@ B, A, G, P = 8, 261888, 100, 1000
 REPS = int(os.environ.get("REPS", "10"))
 
 
+from _bench import scan_time as _scan_time
+
+
 def scan_time(name, body):
-    @jax.jit
-    def run():
-        def step(c, i):
-            return body(c, i), ()
-        c, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(REPS))
-        return c
-    np.asarray(run())
-    t0 = time.perf_counter()
-    np.asarray(run()); np.asarray(run())
-    dt = (time.perf_counter() - t0) / 2
-    print(f"{name:46s} {dt/REPS*1e3:8.2f} ms/rep")
+    return _scan_time(name, body, reps=REPS)
 
 
 def main():

@@ -135,7 +135,7 @@ def test_multiscale_eval(env):
     assert stats.shape == (12,)
     import glob
     assert glob.glob(os.path.join(
-        cfg.MISC.RESULT_FOLDER, "det_result_ep0077_n*_ms.json"))
+        cfg.MISC.RESULT_FOLDER, "det_result_ep0077_n*_ms*.json"))
 
 
 @pytest.mark.slow
