@@ -116,6 +116,10 @@ def _default_tree() -> AttrDict:
         BBOX_STD_DEV=np.array([0.1, 0.1, 0.2, 0.2]),
         IMAGE_SHAPE=[],
         LOADER_WORKER_NUM=2,
+        # 'thread' (cheap handoff; decode/resize parallelize via GIL release)
+        # or 'process' (torch-DataLoader-style fork workers — use on
+        # multi-core hosts where threads can't feed the device)
+        LOADER_WORKER_MODE="thread",
     )
 
     cfg.ROIS = AttrDict(

@@ -268,5 +268,6 @@ def get_data(config, data_root: Optional[str] = None):
                               seed=config.MISC.SEED)
     loader = PrefetchLoader(
         ds, batch_size=config.TRAIN.BATCH_SIZE, shuffle=True,
-        num_workers=config.DATA.LOADER_WORKER_NUM, seed=config.MISC.SEED)
+        num_workers=config.DATA.LOADER_WORKER_NUM, seed=config.MISC.SEED,
+        worker_mode=config.DATA.get("LOADER_WORKER_MODE", "thread"))
     return loader, val, val_api

@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -164,26 +165,57 @@ def intertwiner_meta(
     return loss, new_buffer, new_cnt
 
 
+def _path_key(entry):
+    """Normalize a tree-path entry (DictKey/GetAttrKey/SequenceKey) to its
+    plain value so paths from different container kinds compare equal."""
+    tu = jax.tree_util
+    if isinstance(entry, tu.DictKey):
+        return entry.key
+    if isinstance(entry, tu.GetAttrKey):
+        return entry.name
+    if isinstance(entry, tu.SequenceKey):
+        return entry.idx
+    if isinstance(entry, tu.FlattenedIndexKey):
+        return entry.key
+    return str(entry)
+
+
 def freeze_opt_state(new_opt, old_opt, mask):
     """Keep optimizer state untouched for frozen params.
 
-    The optimizer states used here (trace / adam mu,nu / rms nu) are
-    params-structured trees interleaved with scalar counters; flattened, every
-    non-scalar leaf walks the param tree in mask order, so masked selection
-    can be applied positionally.
+    Param-structured optimizer-state leaves are identified **by tree path**:
+    a state leaf whose path suffix equals a parameter's path (e.g. the trace
+    leaf ``opt_state[1].trace['fpn']['p5_lateral']['kernel']`` ends with the
+    mask path ``fpn/p5_lateral/kernel``) follows that parameter's trainable
+    mask; every other leaf (step counters, global statistics) takes the new
+    value. Longest-suffix match wins so nested param subtrees can't alias.
+
+    Unlike positional alignment, this stays correct for optax chains whose
+    state does not walk the full param tree in order — e.g. an
+    ``optax.masked`` inner state that materializes leaves for only a subset
+    of params (the rest are leafless ``MaskedNode``s).
     """
-    mask_flat = jax.tree_util.tree_leaves(mask)
-    n = len(mask_flat)
-    new_flat, treedef = jax.tree_util.tree_flatten(new_opt)
-    old_flat, _ = jax.tree_util.tree_flatten(old_opt)
-    out, i = [], 0
-    for nl, ol in zip(new_flat, old_flat):
-        if jnp.ndim(nl) == 0:
-            out.append(nl)
+    mask_paths = jax.tree_util.tree_flatten_with_path(mask)[0]
+    by_path = {tuple(_path_key(k) for k in p): v for p, v in mask_paths}
+    depths = sorted({len(p) for p in by_path}, reverse=True)
+
+    new_paths, treedef = jax.tree_util.tree_flatten_with_path(new_opt)
+    old_flat = jax.tree_util.tree_leaves(old_opt)
+    assert len(new_paths) == len(old_flat), "opt-state structures differ"
+    out = []
+    for (path, nl), ol in zip(new_paths, old_flat):
+        keys = tuple(_path_key(k) for k in path)
+        m = None
+        for d in depths:
+            if len(keys) >= d and keys[-d:] in by_path:
+                m = by_path[keys[-d:]]
+                break
+        if m is None:
+            out.append(nl)          # not per-param state (counter/global)
+        elif isinstance(m, (bool, np.bool_)):
+            out.append(nl if m else ol)   # static mask: no select op emitted
         else:
-            out.append(jnp.where(mask_flat[i % n], nl, ol))
-            i += 1
-    assert i % n == 0, (i, n)
+            out.append(jnp.where(m, nl, ol))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

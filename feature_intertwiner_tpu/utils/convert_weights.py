@@ -50,16 +50,40 @@ def _bn(dst_params, dst_stats, path, sd, src):
         dst_stats[f"{inner}/var"] = np.asarray(sd[f"{src}.running_var"])
 
 
+class _TrackedSD(dict):
+    """state_dict wrapper recording which source keys the converter read."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.used = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return super().__getitem__(key)
+
+
+def _conv1d(w):
+    # torch Conv1d [O, I, k] -> flax 1-D Conv [k, I, O]
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
 def convert_reference_state_dict(
     sd: Dict[str, np.ndarray], arch: str = "resnet101",
-    upsample_fac: float = 1.0,
+    upsample_fac: float = 1.0, log_fn=None, strict: bool = False,
 ) -> Tuple[dict, dict]:
     """Reference MaskRCNN .pth state_dict -> (params, batch_stats) trees.
 
     Name map against /root/reference/lib/sub_module.py module structure
     (fpn.C* resnet stages, fpn.P*_conv laterals/outs, rpn.*, classifier.*,
-    mask.*, dev_roi.*). Unknown keys are ignored (strict=False load parity).
+    mask.*, dev_roi.*, the meta-OT ``ot_loss.*`` lib/model.py:66-67 and the
+    FPN-OT ``fpn.p{2,3,4}_ot.*`` lib/sub_module.py:182-185).
+
+    Every source key must either be consumed by the map or be a known
+    non-weight (``num_batches_tracked``): leftovers are reported per key
+    through ``log_fn`` and raise when ``strict=True`` — a silently-dropped
+    layer can no longer masquerade as a successful conversion.
     """
+    sd = _TrackedSD(sd)
     p: Dict[str, np.ndarray] = {}
     s: Dict[str, np.ndarray] = {}
 
@@ -146,6 +170,46 @@ def convert_reference_state_dict(
     if "dev_roi.big_fc_layer.weight" in sd:
         p["dev/big_fc/kernel"] = _linear(sd["dev_roi.big_fc_layer.weight"])
         p["dev/big_fc/bias"] = np.asarray(sd["dev_roi.big_fc_layer.bias"])
+
+    # --- meta OT (LOSS_CHOICE='ot': ot_loss.G_net Conv1d + critic,
+    # lib/OT_module.py:37-41,57-65) --------------------------------------
+    if "ot_loss.G_net.0.weight" in sd:
+        p["ot_loss/g_conv/kernel"] = _conv1d(sd["ot_loss.G_net.0.weight"])
+        p["ot_loss/g_conv/bias"] = np.asarray(sd["ot_loss.G_net.0.bias"])
+    if "ot_loss.critic.0.weight" in sd:       # OT_ONE_DIM_FORM='conv'
+        p["ot_loss/critic_conv/kernel"] = _conv1d(
+            sd["ot_loss.critic.0.weight"])
+        p["ot_loss/critic_conv/bias"] = np.asarray(sd["ot_loss.critic.0.bias"])
+    if "ot_loss.critic.weight" in sd:         # OT_ONE_DIM_FORM='fc' (Linear)
+        p["ot_loss/critic_fc/kernel"] = _linear(sd["ot_loss.critic.weight"])
+        p["ot_loss/critic_fc/bias"] = np.asarray(sd["ot_loss.critic.bias"])
+
+    # --- FPN OT (TRAIN.FPN_OT_LOSS: fpn.p{2,3,4}_ot, ConvTranspose G_net +
+    # 2-conv critic, lib/sub_module.py:182-185, OT_module.py:30-54) ------
+    for lvl in (2, 3, 4):
+        src = f"fpn.p{lvl}_ot"
+        dst = f"fpn/p{lvl}_ot"
+        if f"{src}.G_net.0.weight" not in sd:
+            continue
+        p[f"{dst}/g_deconv/kernel"] = _deconv(sd[f"{src}.G_net.0.weight"])
+        p[f"{dst}/g_deconv/bias"] = np.asarray(sd[f"{src}.G_net.0.bias"])
+        _bn(p, s, f"{dst}/g_bn", sd, f"{src}.G_net.1")
+        for ci, (cname, bname) in enumerate(
+                ((0, 1), (3, 4)), start=1):
+            conv_pair(f"{dst}/critic_conv{ci}", f"{src}.critic.{cname}")
+            _bn(p, s, f"{dst}/critic_bn{ci}", sd, f"{src}.critic.{bname}")
+
+    unmapped = sorted(
+        k for k in sd
+        if k not in sd.used and not k.endswith("num_batches_tracked"))
+    if unmapped:
+        report = "\n".join(f"  UNMAPPED {k}  {tuple(np.shape(sd[k]))}"
+                           for k in unmapped)
+        msg = (f"convert_reference_state_dict: {len(unmapped)} source keys "
+               f"have no mapping:\n{report}")
+        if strict:
+            raise ValueError(msg)
+        (log_fn or print)(msg)
 
     return (traverse_util.unflatten_dict(
                 {tuple(k.split("/")): v for k, v in p.items()}),
@@ -250,6 +314,16 @@ def convert_keras_h5(h5_path: str, arch: str = "resnet101") -> Tuple[dict, dict]
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .pth into a plain name->numpy dict (cpu)."""
+    return load_reference_checkpoint(path)[0]
+
+
+def load_reference_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
+    """Load a reference .pth: (state_dict as name->numpy, payload extras).
+
+    The reference's ``save_model`` payload (tools/utils.py:579-586) carries
+    ``state_dict, epoch, iter, buffer, buffer_cnt, loss_data``; extras
+    returns everything beyond the weights so resume can restore the
+    intertwiner buffer and the epoch/iter counters."""
     import torch
 
     payload = torch.load(path, map_location="cpu", weights_only=False)
@@ -258,7 +332,13 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     for k, v in sd.items():
         if hasattr(v, "numpy"):
             out[re.sub(r"^module\.", "", k)] = v.numpy()
-    return out
+    extras = {}
+    if isinstance(payload, dict):
+        for k in ("epoch", "iter", "buffer", "buffer_cnt", "loss_data"):
+            if k in payload:
+                v = payload[k]
+                extras[k] = v.numpy() if hasattr(v, "numpy") else v
+    return out, extras
 
 
 def merge_pretrained(params: dict, batch_stats: dict,

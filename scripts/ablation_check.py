@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Held-out intertwiner ablation: does the meta-loss lift AP_small?
+
+The round-1 gap (VERDICT r1 "Next round" #1): every variant had a
+"trains and loss decreases" test but none showed the paper's core effect —
+the reliable-set/less-reliable-set intertwiner (+ meta loss,
+/root/reference/lib/model.py:143-224) improving detection, especially
+AP_small (README.md:69 claims 25.4 APs vs Mask-RCNN-class baselines).
+
+This benchmark trains to convergence (NOT overfit) on a generated
+8-class shape dataset with a deliberately small-object-skewed instance mix
+(data/synthetic.py::generate_rich), then evaluates on a 100-image HELD-OUT
+split, comparing:
+
+  baseline : DEV.SWITCH=False  (plain pyramid-RoI second stage)
+  l2       : intertwiner, flagship recipe (configs/105: BUFFER_SIZE=1,
+             LOSS_CHOICE=l2, LOSS_FAC=10)
+  ot       : intertwiner with the Sinkhorn optimal-transport meta loss
+
+Usage:
+  python scripts/ablation_check.py [--variants baseline,l2,ot]
+      [--seeds 0,1] [--schedule 32,8,8] [--train-n 300] [--val-n 100]
+
+Each (variant, seed) run appends a JSON record (12 COCOeval stats) to
+results/ablation/ablation_results.json and prints a final comparison table
+with AP / AP50 / AP_small / AP_medium / AP_large deltas vs baseline.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ABLATION_DIR = os.path.join(REPO, "results", "ablation")
+DATA_SEED = 0
+
+
+def ensure_dataset(root: str, train_n: int, val_n: int):
+    from feature_intertwiner_tpu.data import synthetic
+    marker = os.path.join(root, f"generated_t{train_n}_v{val_n}.ok")
+    if os.path.exists(marker):
+        return
+    synthetic.generate_rich(root, num_images=train_n, split="train",
+                            seed=DATA_SEED)
+    synthetic.generate_rich(root, num_images=val_n, split="minival",
+                            seed=DATA_SEED + 7777)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def build_cfg(variant: str, seed: int, schedule, result_folder: str):
+    import jax.numpy as jnp  # noqa: F401  (defer jax import past argparse)
+
+    from feature_intertwiner_tpu.config import build_config
+
+    cfg = build_config()
+    cfg.CTRL.QUICK_VERIFY = False
+    cfg.MODEL.BACKBONE = "resnet50"
+    cfg.DATA.IMAGE_MIN_DIM = 320
+    cfg.DATA.IMAGE_MAX_DIM = 320
+    cfg.DATA.MAX_GT_INSTANCES = 8
+    cfg.RPN.ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    cfg.RPN.PRE_NMS_LIMIT = 2000
+    cfg.RPN.POST_NMS_ROIS_TRAINING = 500
+    cfg.RPN.POST_NMS_ROIS_INFERENCE = 300
+    cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 64
+    cfg.TEST.DET_MAX_INSTANCES = 50
+    cfg.TEST.DET_MIN_CONFIDENCE = 0.05
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.INIT_LR = 0.002
+    cfg.TRAIN.SCHEDULE = list(schedule)
+    cfg.TRAIN.BN_LEARN = True       # from-scratch training needs live BN
+    cfg.TRAIN.DO_VALIDATION = False  # evaluated explicitly below
+    cfg.TRAIN.SAVE_FREQ_WITHIN_EPOCH = 1  # end-of-epoch checkpoints only
+    cfg.MISC.SEED = 1000 + seed
+
+    if variant == "baseline":
+        cfg.DEV.SWITCH = False
+    else:
+        cfg.DEV.SWITCH = True
+        cfg.DEV.STRUCTURE = "beta"
+        cfg.DEV.BUFFER_SIZE = 1
+        cfg.DEV.LOSS_CHOICE = "l2" if variant == "l2" else variant
+        cfg.DEV.LOSS_FAC = 10.0
+        cfg.DEV.UPSAMPLE_FAC = 1.0
+        cfg.DEV.BIG_FEAT_DETACH = True
+    cfg.finalize()
+    cfg.MISC.RESULT_FOLDER = result_folder
+    os.makedirs(result_folder, exist_ok=True)
+    return cfg
+
+
+def run_variant(variant: str, seed: int, schedule, data_root: str):
+    import jax
+    import jax.numpy as jnp
+
+    # persistent XLA compile cache: variants/seeds share most programs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ABLATION_DIR, "xla_cache"))
+
+    from feature_intertwiner_tpu.data import get_data
+    from feature_intertwiner_tpu.models import InterNet
+    from feature_intertwiner_tpu.train.workflow import (
+        Trainer, test_model, train_model)
+
+    folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}")
+    cfg = build_cfg(variant, seed, schedule, folder)
+    loader, val, val_api = get_data(cfg, data_root=data_root)
+    cfg.DATASET.NUM_CLASSES = val.num_classes
+
+    model = InterNet.from_config(cfg, dtype=jnp.bfloat16)
+    sample = loader.dataset[0]
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(cfg.MISC.SEED),
+         "sampling": jax.random.PRNGKey(cfg.MISC.SEED + 1)},
+        jnp.asarray(sample["images"])[None], mode="train",
+        gt_class_ids=jnp.asarray(sample["gt_class_ids"])[None],
+        gt_boxes=jnp.asarray(sample["gt_boxes"])[None],
+        gt_masks=jnp.asarray(sample["gt_masks"])[None]))()
+
+    trainer = Trainer(model, cfg, variables)
+    t0 = time.time()
+    train_model(trainer, loader, "all")
+    train_time = time.time() - t0
+
+    eval_vars = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        eval_vars["batch_stats"] = trainer.state.batch_stats
+    stats = test_model(model, eval_vars, cfg, val, val_api,
+                       epoch=trainer.epoch - 1, eval_masks=True)
+    record = {
+        "variant": variant, "seed": seed,
+        "schedule": list(schedule),
+        "train_time_s": round(train_time, 1),
+        "AP": float(stats[0]), "AP50": float(stats[1]),
+        "AP75": float(stats[2]), "AP_small": float(stats[3]),
+        "AP_medium": float(stats[4]), "AP_large": float(stats[5]),
+        "stats": [float(s) for s in stats],
+    }
+    results_file = os.path.join(ABLATION_DIR, "ablation_results.json")
+    all_results = []
+    if os.path.exists(results_file):
+        with open(results_file) as f:
+            all_results = json.load(f)
+    all_results = [r for r in all_results
+                   if not (r["variant"] == variant and r["seed"] == seed)]
+    all_results.append(record)
+    with open(results_file, "w") as f:
+        json.dump(all_results, f, indent=1)
+    print(f"[{variant} s{seed}] AP {record['AP']:.3f} "
+          f"AP50 {record['AP50']:.3f} APs {record['AP_small']:.3f} "
+          f"APm {record['AP_medium']:.3f} APl {record['AP_large']:.3f} "
+          f"({train_time:.0f}s train)", flush=True)
+    return record
+
+
+def print_table(results):
+    by = {(r["variant"], r["seed"]): r for r in results}
+    variants = sorted({v for v, _ in by}, key=lambda v: v != "baseline")
+    seeds = sorted({s for _, s in by})
+    print("\n=== Held-out ablation (mean over seeds "
+          f"{seeds}) ===")
+    cols = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large"]
+    base = None
+    for v in variants:
+        rows = [by[(v, s)] for s in seeds if (v, s) in by]
+        if not rows:
+            continue
+        mean = {c: float(np.mean([r[c] for r in rows])) for c in cols}
+        if v == "baseline":
+            base = mean
+        line = f"{v:9s} " + " ".join(f"{c}={mean[c]:.3f}" for c in cols)
+        if base is not None and v != "baseline":
+            line += ("   Δvs-base: "
+                     + " ".join(f"{c}={mean[c]-base[c]:+.3f}"
+                                for c in ("AP", "AP_small")))
+        print(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="baseline,l2,ot")
+    ap.add_argument("--seeds", default="0")
+    ap.add_argument("--schedule", default="16,4,4",
+                    help="3-stage epoch schedule; LR decays at stage sums")
+    ap.add_argument("--train-n", type=int, default=600)
+    ap.add_argument("--val-n", type=int, default=100)
+    ap.add_argument("--table-only", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(ABLATION_DIR, exist_ok=True)
+    results_file = os.path.join(ABLATION_DIR, "ablation_results.json")
+    if args.table_only:
+        with open(results_file) as f:
+            print_table(json.load(f))
+        return
+
+    schedule = [int(x) for x in args.schedule.split(",")]
+    data_root = os.path.join(ABLATION_DIR, "data")
+    ensure_dataset(data_root, args.train_n, args.val_n)
+
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        for variant in args.variants.split(","):
+            run_variant(variant, seed, schedule, data_root)
+
+    with open(results_file) as f:
+        print_table(json.load(f))
+
+
+if __name__ == "__main__":
+    main()

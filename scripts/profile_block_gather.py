@@ -1,0 +1,95 @@
+"""Measure XLA block-gather throughput vs the 45 GB/s row-gather wall.
+
+Round-1 analysis (ops/roi_align.py:23-34) measured the row-gather engine at
+~45 GB/s and rejected packed/tiny-block formulations. The remaining fusion
+candidate (VERDICT r1 #2) exploits FPN eqn-1: a box spans only ~10-20 px on
+its assigned level, so a whole sample ROW SEGMENT fits in one contiguous
+[S, C] block (S=32 covers every level at 1024²; P5 rows are exactly 32).
+If gathers of 16 KB contiguous blocks run near HBM bandwidth rather than at
+the row-gather wall, bilinear interp can be re-expressed as (few blocks per
+box) + tiny matmuls and the RoI stage beats the wall; if they also run at
+~45 GB/s, the wall stands and the rejection note gets its measurement.
+
+Measures, for the batch-32-inference-like shape (32x1000 RoIs, 256 ch bf16):
+  - baseline: 4-corner row gather (the production multilevel path)
+  - block gathers slice_sizes=(S, C) for S in {4, 8, 16, 32} at the same
+    total usable-byte volume, reporting achieved GB/s per formulation.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E401,E702
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = int(os.environ.get("I", "10"))
+N = int(os.environ.get("N", "32000"))       # total RoIs (batch 32 x 1000)
+C = 256
+DTYPE = jnp.bfloat16
+TOTAL_ROWS = 32 * (256 * 256 + 128 * 128 + 64 * 64 + 32 * 32)  # B x sum HW
+
+
+def timeit(name, fn, *args, bytes_moved=None):
+    f = jax.jit(fn)
+    np.asarray(jax.block_until_ready(f(*args))[0, 0])
+    # force full materialization via a reduction for timing
+    g = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(g(*args))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(g(*args))
+    dt = (time.perf_counter() - t0) / ITERS
+    gbs = (bytes_moved / dt / 1e9) if bytes_moved else float("nan")
+    print(f"{name:44s} {dt*1e3:8.2f} ms   {gbs:7.1f} GB/s(used)",
+          flush=True)
+    return dt
+
+
+def main():
+    rng = np.random.RandomState(0)
+    flat2 = jnp.asarray(rng.randn(TOTAL_ROWS, C), DTYPE)
+    bpr = C * 2  # bytes per row
+
+    # --- baseline: 4-corner row gather, 49 samples (the 7x7 classifier crop)
+    n_rows = N * 49 * 4
+    idx = jnp.asarray(rng.randint(0, TOTAL_ROWS, (n_rows,)), jnp.int32)
+    timeit(f"row gather x{n_rows//1000}k (4-corner 7x7)",
+           lambda f, i: jnp.take(f, i, axis=0), flat2, idx,
+           bytes_moved=n_rows * bpr)
+
+    # --- block gathers: M blocks of [S, C] such that M*S*C*2 == usable bytes
+    for S in (4, 8, 16, 32):
+        m = n_rows // S
+        starts = jnp.asarray(
+            rng.randint(0, TOTAL_ROWS - S, (m, 1)), jnp.int32)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,))
+
+        def block_gather(f, s, _S=S, _d=dnums):
+            return jax.lax.gather(
+                f, s, _d, slice_sizes=(_S, C), mode="clip")
+
+        timeit(f"block gather {m//1000}k x [S={S},{C}] "
+               f"({S*bpr//1024}KB blocks)",
+               block_gather, flat2, starts, bytes_moved=m * S * bpr)
+
+    # --- dynamic_slice chunk loop alternative (scan of big contiguous DMAs)
+    S = 32
+    m = n_rows // S
+    starts1 = jnp.asarray(rng.randint(0, TOTAL_ROWS - S, (m,)), jnp.int32)
+
+    def scan_slices(f, s):
+        def body(carry, st):
+            blk = jax.lax.dynamic_slice(f, (st, 0), (S, C))
+            return carry + jnp.sum(blk.astype(jnp.float32)), 0.0
+        tot, _ = jax.lax.scan(body, 0.0, s)
+        return tot[None, None]
+
+    timeit(f"scan dynamic_slice {m//1000}k x [32,{C}]",
+           scan_slices, flat2, starts1, bytes_moved=m * S * bpr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,109 @@
 """Weight-import tests with synthetic reference-format state dicts."""
 
+import re
+
 import numpy as np
+import pytest
 from flax import traverse_util
 
 from feature_intertwiner_tpu.utils.convert_weights import (
     convert_reference_state_dict, merge_pretrained)
+
+
+# --- inverse mapping: our flax tree -> reference torch names/layouts -------
+# Used to synthesize FULL-schema checkpoints (every key the reference's
+# save_model writes for an R*-FPN + Dev + OT + FPN-OT model,
+# /root/reference/tools/utils.py:567-586) whose shapes match a real model.
+_REF_NAME_RULES = [
+    (r"^backbone/c1_conv$", "fpn.C1.0"),
+    (r"^backbone/c1_bn$", "fpn.C1.1"),
+    (r"^backbone/c(\d)/block(\d+)/conv(\d)$", r"fpn.C\1.\2.conv\3"),
+    (r"^backbone/c(\d)/block(\d+)/bn(\d)$", r"fpn.C\1.\2.bn\3"),
+    (r"^backbone/c(\d)/block(\d+)/proj_conv$", r"fpn.C\1.\2.downsample.0"),
+    (r"^backbone/c(\d)/block(\d+)/proj_bn$", r"fpn.C\1.\2.downsample.1"),
+    (r"^fpn/p(\d)_lateral$", r"fpn.P\1_conv1"),
+    (r"^fpn/p(\d)_out$", r"fpn.P\1_conv2.1"),
+    (r"^fpn/p(\d)_ot/g_deconv$", r"fpn.p\1_ot.G_net.0"),
+    (r"^fpn/p(\d)_ot/g_bn$", r"fpn.p\1_ot.G_net.1"),
+    (r"^fpn/p(\d)_ot/critic_conv1$", r"fpn.p\1_ot.critic.0"),
+    (r"^fpn/p(\d)_ot/critic_bn1$", r"fpn.p\1_ot.critic.1"),
+    (r"^fpn/p(\d)_ot/critic_conv2$", r"fpn.p\1_ot.critic.3"),
+    (r"^fpn/p(\d)_ot/critic_bn2$", r"fpn.p\1_ot.critic.4"),
+    (r"^rpn/shared$", "rpn.conv_shared"),
+    (r"^rpn/cls$", "rpn.conv_class"),
+    (r"^rpn/bbox$", "rpn.conv_bbox"),
+    (r"^classifier/fc(\d)$", r"classifier.conv\1"),
+    (r"^classifier/bn(\d)$", r"classifier.bn\1"),
+    (r"^classifier/(linear_\w+)$", r"classifier.\1"),
+    (r"^mask/conv(\d)$", r"mask.conv\1"),
+    (r"^mask/bn(\d)$", r"mask.bn\1"),
+    (r"^mask/upsample$", "mask.deconv"),
+    (r"^mask/logits$", "mask.conv5"),
+    (r"^dev/upsample(\d)/(?:conv|deconv)$", r"dev_roi.upsample.\1.0"),
+    (r"^dev/upsample(\d)/bn$", r"dev_roi.upsample.\1.1"),
+    (r"^dev/critic/conv(\d)$",
+     lambda m: f"dev_roi.feat_extract.{(int(m.group(1)) - 1) * 3}"),
+    (r"^dev/critic/bn(\d)$",
+     lambda m: f"dev_roi.feat_extract.{(int(m.group(1)) - 1) * 3 + 1}"),
+    (r"^dev/big_fc$", "dev_roi.big_fc_layer"),
+    (r"^ot_loss/g_conv$", "ot_loss.G_net.0"),
+    (r"^ot_loss/critic_conv$", "ot_loss.critic.0"),
+    (r"^ot_loss/critic_fc$", "ot_loss.critic"),
+]
+
+
+def _ref_module_name(base: str) -> str:
+    for pat, repl in _REF_NAME_RULES:
+        m = re.match(pat, base)
+        if m:
+            return m.expand(repl) if isinstance(repl, str) else repl(m)
+    raise KeyError(f"no reference name for flax module path {base!r}")
+
+
+def _to_reference_sd(params, batch_stats):
+    """Synthesize the reference state_dict a real checkpoint would carry,
+    inverting every layout conversion the importer performs."""
+    sd = {}
+
+    def inv_kernel(base, w):
+        w = np.asarray(w)
+        if base == "mask/upsample" or base.endswith("/g_deconv") or \
+                re.match(r"^dev/upsample\d/deconv$", base):
+            # flax ConvTranspose [kh,kw,I,O] (flipped) -> torch [I,O,kh,kw]
+            return np.ascontiguousarray(
+                np.transpose(w[::-1, ::-1], (2, 3, 0, 1)))
+        if w.ndim == 3:     # flax 1-D conv [k,I,O] -> torch Conv1d [O,I,k]
+            return np.transpose(w, (2, 1, 0))
+        if w.ndim == 2:     # flax Dense [I,O] -> torch Linear [O,I]
+            return np.transpose(w, (1, 0))
+        return np.transpose(w, (3, 2, 0, 1))   # conv HWIO -> OIHW
+
+    flat_p = {"/".join(k): np.asarray(v) for k, v in
+              traverse_util.flatten_dict(params).items()}
+    for path, v in flat_p.items():
+        if path.endswith("/BatchNorm_0/scale"):
+            sd[_ref_module_name(path[:-len("/BatchNorm_0/scale")])
+               + ".weight"] = v
+        elif path.endswith("/BatchNorm_0/bias"):
+            sd[_ref_module_name(path[:-len("/BatchNorm_0/bias")])
+               + ".bias"] = v
+        elif path.endswith("/kernel"):
+            base = path[:-len("/kernel")]
+            sd[_ref_module_name(base) + ".weight"] = inv_kernel(base, v)
+        elif path.endswith("/bias"):
+            sd[_ref_module_name(path[:-len("/bias")]) + ".bias"] = v
+        else:
+            raise KeyError(f"unexpected param leaf {path}")
+    flat_s = {"/".join(k): np.asarray(v) for k, v in
+              traverse_util.flatten_dict(batch_stats).items()}
+    for path, v in flat_s.items():
+        stat = "running_mean" if path.endswith("/mean") else "running_var"
+        base = path.rsplit("/BatchNorm_0/", 1)[0]
+        name = _ref_module_name(base)
+        sd[f"{name}.{stat}"] = v
+        # torch BN also serializes a counter; the converter must skip it
+        sd[f"{name}.num_batches_tracked"] = np.int64(100)
+    return sd
 
 
 def _fake_reference_sd():
@@ -46,6 +145,7 @@ def _fake_reference_sd():
     return sd
 
 
+@pytest.mark.slow
 def test_reference_mapping_and_layout():
     sd = _fake_reference_sd()
     params, stats = convert_reference_state_dict(sd, "resnet50")
@@ -124,6 +224,7 @@ def test_apply_cross_name_init():
     np.testing.assert_array_equal(out["dev"]["big_fc"]["bias"], np.ones(3))
 
 
+@pytest.mark.slow
 def test_convert_keras_h5_roundtrip(tmp_path):
     """Build a synthetic Matterport-style h5 and convert it."""
     import h5py
@@ -206,3 +307,140 @@ def test_keras_deconv_layout_matches_torch_path():
     via_torch = _deconv(np.transpose(k, (3, 2, 0, 1)))  # keras->torch->flax
     direct = np.transpose(k, (0, 1, 3, 2))[::-1, ::-1]  # the kdeconv math
     np.testing.assert_array_equal(via_torch, direct)
+
+
+@pytest.mark.slow
+def test_full_schema_strict_conversion_round_trip():
+    """Full reference checkpoint schema (Dev + meta-OT + FPN-OT + mask +
+    big_fc, every BN with running stats + counters) synthesized from a real
+    model: strict conversion must consume EVERY key, and the merged tree
+    must round-trip bit-exactly with nothing missing or unused
+    (VERDICT r1 #5)."""
+    import os
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model_forward import _synthetic_batch, tiny_model
+
+    model = tiny_model(dev_loss_choice="ot", fpn_ot_loss=True,
+                       dev_big_supervise=True)
+    rng = np.random.RandomState(0)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images, mode="train", gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+        gt_masks=gt_masks)
+    params, stats = v["params"], v.get("batch_stats", {})
+
+    sd = _to_reference_sd(params, stats)
+    assert any(k.startswith("ot_loss.") for k in sd)
+    assert any(".p2_ot." in k for k in sd)
+    assert "dev_roi.big_fc_layer.weight" in sd
+
+    # strict: raises if any source key has no mapping
+    lp, ls = convert_reference_state_dict(sd, "resnet50", upsample_fac=1.0,
+                                          strict=True)
+    logs = []
+    mp, ms = merge_pretrained(params, stats, lp, ls, log_fn=logs.append)
+    assert any(l.startswith("[params]") and "from-scratch 0," in l
+               and "unused 0" in l for l in logs), logs
+    assert any(l.startswith("[batch_stats]") and "from-scratch 0," in l
+               and "unused 0" in l for l in logs), logs
+    for label, orig, merged in (("params", params, mp),
+                                ("stats", stats, ms)):
+        got = traverse_util.flatten_dict(merged)
+        for k, vv in traverse_util.flatten_dict(orig).items():
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(vv),
+                err_msg=f"{label}:{'/'.join(k)}")
+
+
+def test_strict_conversion_reports_unmapped_keys():
+    sd = _fake_reference_sd()
+    sd["dev_roi.mystery_layer.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="mystery_layer"):
+        convert_reference_state_dict(sd, "resnet50", strict=True)
+    logs = []
+    convert_reference_state_dict(sd, "resnet50", log_fn=logs.append)
+    assert any("UNMAPPED dev_roi.mystery_layer.weight" in l for l in logs)
+
+
+@pytest.mark.slow
+def test_trainer_resume_from_reference_pth(tmp_path):
+    """Trainer.resume must train from a synthesized full save_model payload:
+    weights overlaid, intertwiner buffer + epoch/iter counters restored
+    (parity: tools/utils.py:321-347,374-389, save_model :579-586)."""
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model_forward import _synthetic_batch
+
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.models import InterNet
+    from feature_intertwiner_tpu.train.workflow import Trainer
+
+    cfg = build_config()
+    cfg.DATASET.NUM_CLASSES = 8
+    cfg.MODEL.BACKBONE = "resnet50"
+    cfg.DATA.IMAGE_MIN_DIM = 96
+    cfg.DATA.IMAGE_MAX_DIM = 128
+    cfg.RPN.ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    cfg.RPN.PRE_NMS_LIMIT = 200
+    cfg.RPN.POST_NMS_ROIS_TRAINING = 64
+    cfg.RPN.POST_NMS_ROIS_INFERENCE = 48
+    cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 24
+    cfg.TRAIN.BATCH_SIZE = 1
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.BUFFER_SIZE = 1
+    cfg.DEV.UPSAMPLE_FAC = 1.0
+    cfg.finalize()
+    cfg.MISC.RESULT_FOLDER = str(tmp_path / "run")
+
+    model = InterNet.from_config(cfg)
+    rng = np.random.RandomState(1)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng)
+    init_args = dict(mode="train", gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+                     gt_masks=gt_masks)
+    v0 = model.init({"params": jax.random.PRNGKey(7),
+                     "sampling": jax.random.PRNGKey(8)}, images, **init_args)
+
+    sd = _to_reference_sd(v0["params"], v0.get("batch_stats", {}))
+    buf = np.random.RandomState(2).rand(1, 1024, 8).astype(np.float32)
+    cnt = np.ones((1, 1, 8), np.float32)
+    pth = str(tmp_path / "mask_rcnn_ref.pth")
+    torch.save({
+        "state_dict": {k: torch.from_numpy(np.asarray(vv))
+                       for k, vv in sd.items()},
+        "epoch": 2, "iter": 0, "buffer": buf, "buffer_cnt": cnt,
+        "loss_data": {},
+    }, pth)
+    cfg.MODEL.INIT_FILE_CHOICE = pth
+
+    v1 = model.init({"params": jax.random.PRNGKey(99),
+                     "sampling": jax.random.PRNGKey(100)}, images, **init_args)
+    trainer = Trainer(model, cfg, v1).resume()
+
+    got = traverse_util.flatten_dict(trainer.state.params)
+    for k, vv in traverse_util.flatten_dict(v0["params"]).items():
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(vv),
+                                   err_msg="/".join(k))
+    np.testing.assert_allclose(np.asarray(trainer.state.buffer), buf)
+    np.testing.assert_allclose(np.asarray(trainer.state.buffer_cnt), cnt)
+    assert trainer.epoch == 2 and trainer.iter == 1
+
+    step = trainer._get_step("all")
+    batch = dict(images=jnp.asarray(images),
+                 gt_class_ids=jnp.asarray(gt_cls),
+                 gt_boxes=jnp.asarray(gt_boxes),
+                 gt_masks=jnp.asarray(gt_masks))
+    trainer.state, metrics = step(trainer.state, batch, jnp.float32(1e-3),
+                                  jnp.float32(1.0), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))

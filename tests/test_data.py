@@ -166,6 +166,40 @@ def test_loader_backpressure_bound():
     assert loader._peak_outstanding <= 5
 
 
+def test_process_loader_matches_thread_loader():
+    """worker_mode='process' (fork workers, torch-DataLoader equivalent)
+    must deliver bit-identical batches in the same order as the thread
+    path, propagate worker exceptions, and honor the prefetch bound."""
+
+    class Ds:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {"x": np.full((3, 2), i, np.float32),
+                    "y": np.int32(i * 7)}
+
+    kw = dict(batch_size=4, shuffle=True, seed=3, num_workers=2, prefetch=2)
+    thread = list(PrefetchLoader(Ds(), worker_mode="thread", **kw))
+    proc_loader = PrefetchLoader(Ds(), worker_mode="process", **kw)
+    proc = list(proc_loader)
+    assert len(proc) == len(thread) == 6
+    for bt, bp in zip(thread, proc):
+        np.testing.assert_array_equal(bt["x"], bp["x"])
+        np.testing.assert_array_equal(bt["y"], bp["y"])
+    assert proc_loader._peak_outstanding <= 3
+
+    class Bad(Ds):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in PrefetchLoader(Bad(), worker_mode="process", **kw):
+            pass
+
+
 def test_augmentation_varies_across_epochs(coco_root):
     cfg = _small_cfg()
     loader, _, _ = get_data(cfg, data_root=coco_root)
@@ -217,6 +251,44 @@ def test_resize_mask_empty_keeps_canvas_shape():
     out = T.resize_mask(mask, scale, pad)
     assert out.shape[:2] == out_img.shape[:2]
     assert out.shape[2] == 0
+
+
+def test_generate_rich_benchmark_split(tmp_path):
+    """The held-out ablation benchmark generator: 8 shape classes, a
+    small/large instance mix spanning the COCO area bands, exact RLE
+    segmentations, and the train/ vs val/ directory convention."""
+    import json
+    import os
+
+    root = str(tmp_path / "rich")
+    synthetic.generate_rich(root, num_images=6, split="train", seed=0)
+    synthetic.generate_rich(root, num_images=3, split="minival", seed=1)
+    assert os.path.isdir(os.path.join(root, "train2014"))
+    assert os.path.isdir(os.path.join(root, "val2014"))
+    ann = json.load(open(os.path.join(
+        root, "annotations", "instances_train2014.json")))
+    assert len(ann["categories"]) == 8
+    assert len(ann["images"]) == 6
+    areas = [a["area"] for a in ann["annotations"]]
+    assert any(a < 32 ** 2 for a in areas), "needs COCO-small instances"
+    assert any(a > 2 * 32 ** 2 for a in areas), "needs large instances"
+    cats = {a["category_id"] for a in ann["annotations"]}
+    assert len(cats) >= 5
+    # loads through the full Dataset/RLE stack with consistent shapes
+    ds = Dataset()
+    ds.load_coco(os.path.join(root, "annotations",
+                              "instances_train2014.json"),
+                 os.path.join(root, "train2014"))
+    ds.prepare()
+    img = ds.load_image(0)
+    mask, cls = ds.load_mask(0)
+    assert mask.shape[:2] == img.shape[:2]
+    assert len(cls) == mask.shape[-1] > 0
+    # RLE areas round-trip: decoded mask area equals the annotation area
+    a0 = ann["annotations"][0]
+    from feature_intertwiner_tpu.evaluation.rle import RLE
+    dec = RLE.from_coco(a0["segmentation"], 320, 320).decode()
+    assert abs(float(dec.sum()) - a0["area"]) < 1e-6
 
 
 def test_synthetic_small_canvas(tmp_path):

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full-model forwards: minutes of XLA compile on one core -> slow tier
+pytestmark = pytest.mark.slow
+
 from feature_intertwiner_tpu.models import InterNet
 
 IMG = 128

@@ -47,6 +47,135 @@ def test_parallel_train_step_runs_and_stays_replicated():
 
 
 @pytest.mark.slow
+def test_multi_epoch_mesh_training_checkpoint_and_buffer():
+    """Multi-epoch SPMD evidence (VERDICT r1 #6): several epochs on the
+    8-virtual-device mesh must decrease the loss, keep the intertwiner
+    buffer fully replicated, and survive a checkpoint save/restore UNDER
+    the mesh (dryrun_multichip only ever ran one step)."""
+    import tempfile
+
+    from feature_intertwiner_tpu.train import checkpoint as ckpt
+
+    n = 8
+    mesh = make_mesh(n)
+    model = tiny_model()
+    rng = np.random.RandomState(3)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng, b=n)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images[:1], mode="train", gt_class_ids=gt_cls[:1],
+        gt_boxes=gt_boxes[:1], gt_masks=gt_masks[:1])
+    cfg = _cfg()
+    cfg.TRAIN.BATCH_SIZE = n
+
+    def fresh_state():
+        # the parallel step donates its state, and device_put aliases the
+        # source buffer for the matching device shard — donate a state built
+        # on shared `variables` and the shared leaves die with it (the same
+        # hazard Trainer guards against by copying, workflow.py:50-53)
+        return replicate(create_train_state(
+            cfg, jax.tree_util.tree_map(jnp.copy, variables)), mesh)
+
+    state = fresh_state()
+    batch = shard_batch(
+        dict(images=images, gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+             gt_masks=gt_masks), mesh)
+    step = make_parallel_train_step(model, cfg, "all", mesh)
+
+    losses = []
+    key = jax.random.PRNGKey(11)
+    for it in range(6):           # 3 "epochs" x 2 steps on the same batch
+        state, metrics = step(state, batch, jnp.float32(1e-3),
+                              jnp.float32(1.0), jax.random.fold_in(key, it))
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+    # the buffer (and params) stay fully replicated over the mesh
+    assert state.buffer.sharding.is_fully_replicated
+    assert jax.tree_util.tree_leaves(state.params)[0].sharding.is_fully_replicated
+
+    # checkpoint save/restore under the mesh, then keep training
+    folder = tempfile.mkdtemp()
+    ckpt.save_checkpoint(folder, state, 3, 2, blocking=True)
+    path = ckpt.find_last(folder)
+    assert path
+    fresh = fresh_state()
+    restored, ep, it = ckpt.restore_checkpoint(path, fresh)
+    assert (ep, it) == (3, 2)
+    np.testing.assert_allclose(
+        np.asarray(restored.buffer), np.asarray(state.buffer), rtol=1e-6)
+    p_r = jax.tree_util.tree_leaves(restored.params)
+    p_s = jax.tree_util.tree_leaves(state.params)
+    for a, b in zip(p_r, p_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    s2, m2 = step(restored, batch, jnp.float32(1e-3), jnp.float32(1.0),
+                  jax.random.fold_in(key, 99))
+    assert np.isfinite(float(m2["total_loss"]))
+
+
+@pytest.mark.slow
+def test_mesh_vs_single_device_loss_trajectory():
+    """Fixed total batch: the mesh-N trajectory must EQUAL the single-device
+    emulation (run each shard separately with the same per-device rng fold,
+    average the resulting states). For SGD(+momentum+wd, no clip) the update
+    is linear in the gradient, so state-averaging the per-shard single-device
+    steps is algebraically the pmean-of-grads step — any divergence is an
+    SPMD bug, not numerics. DEV/meta off keeps the step grad-linear."""
+    from feature_intertwiner_tpu.train.step import make_train_step
+
+    n = 2
+    mesh = make_mesh(n)
+    model = tiny_model(dev_switch=False)
+    rng = np.random.RandomState(5)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng, b=n)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images[:1], mode="train", gt_class_ids=gt_cls[:1],
+        gt_boxes=gt_boxes[:1], gt_masks=gt_masks[:1])
+    cfg = _cfg()
+    cfg.TRAIN.BATCH_SIZE = n
+    cfg.DEV.SWITCH = False
+    cfg.TRAIN.CLIP_GRAD = False     # global-norm clip is not grad-linear
+
+    # copies: the parallel step donates, and device_put aliases source
+    # buffers (see test_multi_epoch_mesh_training_checkpoint_and_buffer)
+    pstate = replicate(create_train_state(
+        cfg, jax.tree_util.tree_map(jnp.copy, variables)), mesh)
+    pbatch = shard_batch(
+        dict(images=images, gt_class_ids=gt_cls, gt_boxes=gt_boxes,
+             gt_masks=gt_masks), mesh)
+    pstep = make_parallel_train_step(model, cfg, "all", mesh)
+
+    single = jax.jit(make_train_step(model, cfg, "all"))
+    sstate = create_train_state(cfg, variables)
+
+    key = jax.random.PRNGKey(21)
+    for it in range(3):
+        k = jax.random.fold_in(key, it)
+        pstate, pm = pstep(pstate, pbatch, jnp.float32(1e-3),
+                           jnp.float32(1.0), k)
+        # emulate: per-shard single-device steps from the same state,
+        # then average the states (exact for a grad-linear optimizer)
+        shard_states = []
+        for d in range(n):
+            shard = dict(images=images[d:d + 1],
+                         gt_class_ids=gt_cls[d:d + 1],
+                         gt_boxes=gt_boxes[d:d + 1],
+                         gt_masks=gt_masks[d:d + 1])
+            sd, _ = single(sstate, shard, jnp.float32(1e-3),
+                           jnp.float32(1.0), jax.random.fold_in(k, d))
+            shard_states.append(sd)
+        sstate = jax.tree_util.tree_map(
+            lambda *xs: sum(xs) / len(xs) if xs[0].dtype in
+            (jnp.float32, jnp.bfloat16) else xs[0], *shard_states)
+        for a, b in zip(jax.tree_util.tree_leaves(pstate.params),
+                        jax.tree_util.tree_leaves(sstate.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=1e-6)
+    assert np.isfinite(float(pm["total_loss"]))
+
+
+@pytest.mark.slow
 def test_bn_learn_batch_stats_replicated_under_mesh():
     """TRAIN.BN_LEARN under SPMD: per-device BN statistics must be pmean'd —
     the mesh result equals the average of per-shard single-device updates."""

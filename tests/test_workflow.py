@@ -151,6 +151,7 @@ def test_fp32_eval_dtype_clone(env):
     assert np.isfinite(np.asarray(out["detections"])).all()
 
 
+@pytest.mark.slow
 def test_mold_unmold_roundtrip(env):
     cfg = env[0]
     rng = np.random.RandomState(0)
@@ -165,6 +166,7 @@ def test_mold_unmold_roundtrip(env):
     np.testing.assert_array_equal(boxes[0], [0, 0, 100, 140])
 
 
+@pytest.mark.slow
 def test_resume_from_pretrained_npz(env, tmp_path):
     """MODEL.INIT_FILE_CHOICE pointing at a converted .npz must actually load
     the weights (strict=False overlay), not silently start from scratch."""
