@@ -53,7 +53,8 @@ def ensure_dataset(root: str, train_n: int, val_n: int):
         f.write("ok")
 
 
-def build_cfg(variant: str, seed: int, schedule, result_folder: str):
+def build_cfg(variant: str, seed: int, schedule, result_folder: str,
+              init_npz=None, lr=None):
     import jax.numpy as jnp  # noqa: F401  (defer jax import past argparse)
 
     from feature_intertwiner_tpu.config import build_config
@@ -72,7 +73,11 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str):
     cfg.TEST.DET_MAX_INSTANCES = 50
     cfg.TEST.DET_MIN_CONFIDENCE = 0.05
     cfg.TRAIN.BATCH_SIZE = 8
-    cfg.TRAIN.INIT_LR = 0.002
+    cfg.TRAIN.INIT_LR = lr if lr else 0.002
+    if init_npz:
+        # paper-regime fine-tune: overlay pretrained weights (the reference
+        # always starts from a pretrained backbone, tools/utils.py:271-313)
+        cfg.MODEL.INIT_FILE_CHOICE = init_npz
     cfg.TRAIN.SCHEDULE = list(schedule)
     cfg.TRAIN.BN_LEARN = True       # from-scratch training needs live BN
     cfg.TRAIN.DO_VALIDATION = False  # evaluated explicitly below
@@ -95,7 +100,8 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str):
     return cfg
 
 
-def run_variant(variant: str, seed: int, schedule, data_root: str):
+def run_variant(variant: str, seed: int, schedule, data_root: str,
+                init_npz=None, lr=None):
     import jax
     import jax.numpy as jnp
 
@@ -108,8 +114,9 @@ def run_variant(variant: str, seed: int, schedule, data_root: str):
     from feature_intertwiner_tpu.train.workflow import (
         Trainer, test_model, train_model)
 
-    folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}")
-    cfg = build_cfg(variant, seed, schedule, folder)
+    tag = "_ft" if init_npz else ""
+    folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}{tag}")
+    cfg = build_cfg(variant, seed, schedule, folder, init_npz=init_npz, lr=lr)
     loader, val, val_api = get_data(cfg, data_root=data_root)
     cfg.DATASET.NUM_CLASSES = val.num_classes
 
@@ -123,7 +130,7 @@ def run_variant(variant: str, seed: int, schedule, data_root: str):
         gt_boxes=jnp.asarray(sample["gt_boxes"])[None],
         gt_masks=jnp.asarray(sample["gt_masks"])[None]))()
 
-    trainer = Trainer(model, cfg, variables)
+    trainer = Trainer(model, cfg, variables).resume()
     t0 = time.time()
     train_model(trainer, loader, "all")
     train_time = time.time() - t0
@@ -134,7 +141,7 @@ def run_variant(variant: str, seed: int, schedule, data_root: str):
     stats = test_model(model, eval_vars, cfg, val, val_api,
                        epoch=trainer.epoch - 1, eval_masks=True)
     record = {
-        "variant": variant, "seed": seed,
+        "variant": variant + tag, "seed": seed,
         "schedule": list(schedule),
         "train_time_s": round(train_time, 1),
         "AP": float(stats[0]), "AP50": float(stats[1]),
@@ -148,7 +155,8 @@ def run_variant(variant: str, seed: int, schedule, data_root: str):
         with open(results_file) as f:
             all_results = json.load(f)
     all_results = [r for r in all_results
-                   if not (r["variant"] == variant and r["seed"] == seed)]
+                   if not (r["variant"] == variant + tag
+                           and r["seed"] == seed)]
     all_results.append(record)
     with open(results_file, "w") as f:
         json.dump(all_results, f, indent=1)
@@ -161,7 +169,9 @@ def run_variant(variant: str, seed: int, schedule, data_root: str):
 
 def print_table(results):
     by = {(r["variant"], r["seed"]): r for r in results}
-    variants = sorted({v for v, _ in by}, key=lambda v: v != "baseline")
+    variants = sorted({v for v, _ in by},
+                      key=lambda v: (v.endswith("_ft"),
+                                     not v.startswith("baseline")))
     seeds = sorted({s for _, s in by})
     print("\n=== Held-out ablation (mean over seeds "
           f"{seeds}) ===")
@@ -172,7 +182,7 @@ def print_table(results):
         if not rows:
             continue
         mean = {c: float(np.mean([r[c] for r in rows])) for c in cols}
-        if v == "baseline":
+        if v.startswith("baseline"):
             base = mean
         line = f"{v:9s} " + " ".join(f"{c}={mean[c]:.3f}" for c in cols)
         if base is not None and v != "baseline":
@@ -190,6 +200,10 @@ def main():
                     help="3-stage epoch schedule; LR decays at stage sums")
     ap.add_argument("--train-n", type=int, default=600)
     ap.add_argument("--val-n", type=int, default=100)
+    ap.add_argument("--init-npz", default=None,
+                    help="pretrained overlay (paper-regime fine-tune); "
+                         "results tagged <variant>_ft")
+    ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--table-only", action="store_true")
     args = ap.parse_args()
 
@@ -206,7 +220,8 @@ def main():
 
     for seed in [int(s) for s in args.seeds.split(",")]:
         for variant in args.variants.split(","):
-            run_variant(variant, seed, schedule, data_root)
+            run_variant(variant, seed, schedule, data_root,
+                        init_npz=args.init_npz, lr=args.lr)
 
     with open(results_file) as f:
         print_table(json.load(f))
