@@ -127,6 +127,12 @@ def _default_tree() -> AttrDict:
         ROI_POSITIVE_RATIO=0.33,
         ASSIGN_ANCHOR_BASE=224.0,
         METHOD="roi_align",        # or 'roi_pool'
+        # METHOD='roi_pool' per-bin window bound (ops/roi_pool.py). 0 =
+        # exact per level (cap = cells/pooled+2; costly on P2 — K² gather).
+        # Measured divergence at the default 8 (scripts/profile_roipool_cap
+        # .py): exact on P4+, P3 needs 12, P2 (span<=20) has ~18% of
+        # reliable-set bins off by ~2-4% mean rel-err.
+        WINDOW_CAP=8,
     )
 
     cfg.TEST = AttrDict(

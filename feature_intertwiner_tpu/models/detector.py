@@ -65,6 +65,7 @@ class InterNet(nn.Module):
     positive_ratio: float = 0.33
     assign_base: float = 224.0
     roi_method: str = "roi_align"
+    roi_pool_window_cap: int = 8
     use_mini_mask: bool = True
     bbox_std: tuple = (0.1, 0.1, 0.2, 0.2)
     # test
@@ -120,6 +121,7 @@ class InterNet(nn.Module):
             positive_ratio=cfg.ROIS.ROI_POSITIVE_RATIO,
             assign_base=cfg.ROIS.ASSIGN_ANCHOR_BASE,
             roi_method=cfg.ROIS.METHOD,
+            roi_pool_window_cap=cfg.ROIS.get("WINDOW_CAP", 8),
             use_mini_mask=cfg.MRCNN.USE_MINI_MASK,
             bbox_std=tuple(float(x) for x in cfg.DATA.BBOX_STD_DEV),
             det_max_instances=cfg.TEST.DET_MAX_INSTANCES,
@@ -174,6 +176,7 @@ class InterNet(nn.Module):
             use_dev=self.dev_switch,
             structure=self.dev_structure,
             roi_method=self.roi_method,
+            window_cap=self.roi_pool_window_cap,
             upsample_fac=self.dev_upsample_fac,
             multi_upsampler=self.dev_multi_upsampler,
             dis_upsampler=self.dev_dis_upsampler,

@@ -128,6 +128,8 @@ class Dev(nn.Module):
     use_dev: bool = True
     structure: str = "beta"
     roi_method: str = "roi_align"
+    # roi_pool per-bin window bound; 0 = exact per level (ROIS.WINDOW_CAP)
+    window_cap: int = 8
     upsample_fac: float = 2.0
     multi_upsampler: bool = False
     dis_upsampler: bool = False
@@ -318,7 +320,9 @@ class Dev(nn.Module):
                 pooled_big = roi_pool(
                     level_map,
                     make_roi_pool_input(flat_rois, box_idx, float(self.image_size)),
-                    scale, (self.feat_pool_size,) * 2)
+                    scale, (self.feat_pool_size,) * 2,
+                    window_cap=self._pool_cap(level_map.shape[1],
+                                              self.feat_pool_size))
             big_raw = critic(pooled_big, train_bn).astype(jnp.float32)
             big_act = self._last_op(big_raw) if self.loss_choice != "ot" else big_raw
 
@@ -353,13 +357,22 @@ class Dev(nn.Module):
         }
         return pooled_cls, pooled_mask, feat_out
 
+    def _pool_cap(self, cells: int, pooled: int) -> int:
+        """Static roi_pool window bound: configured cap, or exact-per-level
+        (worst-case bin span of a full-image RoI) when window_cap == 0.
+        Divergence at the default 8 is measured in
+        scripts/profile_roipool_cap.py (P2-only, ~2-4% mean rel-err on the
+        reliable-set's cross-level windows)."""
+        return self.window_cap if self.window_cap else cells // pooled + 2
+
     def _roi_pool_multilevel(self, maps, flat_rois, box_idx, level_idx, size):
         """RoIPool every RoI at all levels, select by assignment (static)."""
         outs = []
         for i, m in enumerate(maps):
             scale = m.shape[1] / self.image_size
             rois_px = make_roi_pool_input(flat_rois, box_idx, float(self.image_size))
-            outs.append(roi_pool(m, rois_px, scale, (size, size)))
+            outs.append(roi_pool(m, rois_px, scale, (size, size),
+                                 window_cap=self._pool_cap(m.shape[1], size)))
         stacked = jnp.stack(outs)                          # [4, N, s, s, C]
         sel = jax.nn.one_hot(level_idx, 4, axis=0, dtype=stacked.dtype)
         return jnp.einsum("ln,lnhwc->nhwc", sel, stacked)

@@ -20,8 +20,15 @@ EXACT — and wider bins degrade to an evenly-strided subsampled max that
 always covers both window endpoints (never a truncated prefix). With FPN
 level assignment the default cap of 8 is exact for every RoI pooled at its
 assigned level; the intertwiner's cross-level "big" pooling (large RoIs on
-fine maps) can exceed it and gets the strided approximation — raise
-``window_cap`` there if exactness matters more than the K² gather cost.
+fine maps) can exceed it and gets the strided approximation.
+
+Measured divergence (scripts/profile_roipool_cap.py, 14² pooling of the
+big-set box mix at 1024²): P4+ exact at cap 8; P3 (span ≤ 11) exact at
+cap 12; only P2 (span ≤ 20) diverges materially — at cap 8, ~18-20% of
+bins differ with mean relative error 2.4% (smooth maps) / 4.4% (noise);
+cap 16 cuts that to ~1.2% of bins at ≤0.2% mean. Exactness everywhere
+costs K² gather volume (cap 20 on P2 ≈ 6× the bytes of cap 8) — set
+``ROIS.WINDOW_CAP=0`` for exact-per-level caps when that's worth it.
 """
 
 from __future__ import annotations

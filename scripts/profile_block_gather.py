@@ -75,6 +75,42 @@ def main():
                f"({S*bpr//1024}KB blocks)",
                block_gather, flat2, starts, bytes_moved=m * S * bpr)
 
+    # --- adjacent-corner pair [2, C]: tl/tr (and bl/br) are adjacent rows in
+    # the flattened layout, so 4-corner gathers can become 2 pair-gathers at
+    # identical byte volume. Wins iff per-byte cost of [2,C] blocks ~= rows.
+    m = n_rows // 2
+    starts = jnp.asarray(rng.randint(0, TOTAL_ROWS - 2, (m, 1)), jnp.int32)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    timeit(f"pair gather {m//1000}k x [2,{C}] (corner pairs)",
+           lambda f, s: jax.lax.gather(f, s, dnums, slice_sizes=(2, C),
+                                       mode="clip"),
+           flat2, starts, bytes_moved=m * 2 * bpr)
+
+    # --- 2-D window blocks [Sy, Sx, C] from the unflattened level map: one
+    # window covers ALL 49 samples x 4 corners of a box (typical on-level box
+    # span is 10-20 px, SURVEY FPN eqn-1), replacing 196 row reads with
+    # Sy strided Sx-segments. Byte volume rises (Sy*Sx vs 196 unique-ish
+    # rows) so this needs the block engine to beat the row wall per byte.
+    img = jnp.asarray(rng.randn(32, 256, 256, C), DTYPE)
+    n_boxes = N
+    for sy, sx in ((8, 32), (16, 32), (24, 32), (16, 64)):
+        bi = rng.randint(0, 32, (n_boxes, 1))
+        ys = rng.randint(0, 256 - sy, (n_boxes, 1))
+        xs = rng.randint(0, 256 - sx, (n_boxes, 1))
+        starts3 = jnp.asarray(np.concatenate([bi, ys, xs], 1), jnp.int32)
+        d3 = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
+
+        def win_gather(f, s, _sy=sy, _sx=sx, _d=d3):
+            return jax.lax.gather(
+                f, s, _d, slice_sizes=(1, _sy, _sx, C), mode="clip")
+
+        timeit(f"2D window {n_boxes//1000}k x [{sy},{sx},{C}]",
+               win_gather, img, starts3,
+               bytes_moved=n_boxes * sy * sx * bpr)
+
     # --- dynamic_slice chunk loop alternative (scan of big contiguous DMAs)
     S = 32
     m = n_rows // S

@@ -94,3 +94,32 @@ def test_oversized_bins_cover_full_window():
         [win[4:8, 0:4].max(0).max(0), win[4:8, 4:8].max(0).max(0)],
     ])
     np.testing.assert_allclose(out2[0], expect, atol=1e-6)
+
+
+def test_exact_per_level_cap_formula(rng):
+    """ROIS.WINDOW_CAP=0 uses cap = cells//pooled + 2 per level
+    (models/intertwiner.py::Dev._pool_cap). Verify that bound is exact for
+    the worst case it must cover: a full-map RoI (widest possible bins)."""
+    h = w = 64
+    pooled = 14
+    cap = h // pooled + 2
+    feat = rng.randn(1, h, w, 3).astype(np.float32)
+    rois = np.array([[0, 0, 0, w - 1, h - 1]], np.float32)
+    got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 1.0,
+                              (pooled, pooled), window_cap=cap))
+    want = np_roi_pool(feat, rois, 1.0, pooled)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_window_cap_config_plumbing():
+    """ROIS.WINDOW_CAP reaches Dev.window_cap through InterNet.from_config."""
+    import jax.numpy as jnp_
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.models import InterNet
+
+    cfg = build_config()
+    cfg.ROIS.METHOD = "roi_pool"
+    cfg.ROIS.WINDOW_CAP = 0
+    cfg.finalize()
+    model = InterNet.from_config(cfg, dtype=jnp_.float32)
+    assert model.roi_pool_window_cap == 0
