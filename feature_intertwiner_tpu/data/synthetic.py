@@ -171,7 +171,8 @@ def generate_rich(root: str, num_images: int,
                   year: str = "2014", split: str = "minival",
                   seed: int = 0, num_classes: int = 8,
                   small_frac: float = 0.55,
-                  min_instances: int = 2, max_instances: int = 6) -> str:
+                  min_instances: int = 2, max_instances: int = 6,
+                  color_mode: str = "class") -> str:
     """Write a shape-classification benchmark split; returns the ann path.
 
     ``small_frac`` of instances are drawn with COCO-'small' footprint
@@ -181,6 +182,17 @@ def generate_rich(root: str, num_images: int,
     ``split='train'`` writes images under ``train<year>/`` matching
     ``get_data``'s directory convention; anything else under ``val<year>/``.
     Segmentations are exact RLEs of the drawn masks.
+
+    ``color_mode``:
+      'class'  — one base color per class (default): identity is cued by
+                 appearance AND shape, so small instances stay classifiable
+                 and the task is learnable from scratch.
+      'paired' — classes 2k-1 and 2k SHARE a color family and differ only
+                 in geometry. Color carries a class PAIR; resolving within
+                 the pair needs shape, which small (10-30 px) instances
+                 barely render — the low-resolution-unreliability premise
+                 the Feature Intertwiner targets (paper §1; the reliable
+                 big set of a class should disambiguate its small set).
     """
     from ..evaluation.rle import RLE
 
@@ -225,7 +237,9 @@ def generate_rich(root: str, num_images: int,
             area = int(mask.sum())
             if area < 8:
                 continue
-            color = np.clip(RICH_COLORS[cat - 1]
+            color_id = cat - 1 if color_mode == "class" \
+                else ((cat - 1) // 2) * 2
+            color = np.clip(RICH_COLORS[color_id]
                             + rng.randint(-40, 41, 3), 25, 255)
             canvas[mask] = color
             ys, xs = np.nonzero(mask)

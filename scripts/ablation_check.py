@@ -40,15 +40,16 @@ ABLATION_DIR = os.path.join(REPO, "results", "ablation")
 DATA_SEED = 0
 
 
-def ensure_dataset(root: str, train_n: int, val_n: int):
+def ensure_dataset(root: str, train_n: int, val_n: int,
+                   color_mode: str = "class"):
     from feature_intertwiner_tpu.data import synthetic
     marker = os.path.join(root, f"generated_t{train_n}_v{val_n}.ok")
     if os.path.exists(marker):
         return
     synthetic.generate_rich(root, num_images=train_n, split="train",
-                            seed=DATA_SEED)
+                            seed=DATA_SEED, color_mode=color_mode)
     synthetic.generate_rich(root, num_images=val_n, split="minival",
-                            seed=DATA_SEED + 7777)
+                            seed=DATA_SEED + 7777, color_mode=color_mode)
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -101,7 +102,7 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
 
 
 def run_variant(variant: str, seed: int, schedule, data_root: str,
-                init_npz=None, lr=None):
+                init_npz=None, lr=None, run_tag=""):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +115,7 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
     from feature_intertwiner_tpu.train.workflow import (
         Trainer, test_model, train_model)
 
-    tag = "_ft" if init_npz else ""
+    tag = ("_ft" if init_npz else "") + run_tag
     folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}{tag}")
     cfg = build_cfg(variant, seed, schedule, folder, init_npz=init_npz, lr=lr)
     loader, val, val_api = get_data(cfg, data_root=data_root)
@@ -168,28 +169,41 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
 
 
 def print_table(results):
-    by = {(r["variant"], r["seed"]): r for r in results}
-    variants = sorted({v for v, _ in by},
-                      key=lambda v: (v.endswith("_ft"),
-                                     not v.startswith("baseline")))
-    seeds = sorted({s for _, s in by})
-    print("\n=== Held-out ablation (mean over seeds "
-          f"{seeds}) ===")
     cols = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large"]
-    base = None
-    for v in variants:
-        rows = [by[(v, s)] for s in seeds if (v, s) in by]
-        if not rows:
+
+    def regime(v):
+        for suffix in ("_ft_pc", "_ft", "_pc"):
+            if v.endswith(suffix):
+                return suffix
+        return ""
+
+    by = {(r["variant"], r["seed"]): r for r in results}
+    for suffix in ("", "_ft", "_pc", "_ft_pc"):
+        variants = sorted({v for v, _ in by if regime(v) == suffix},
+                          key=lambda v: not v.startswith("baseline"))
+        if not variants:
             continue
-        mean = {c: float(np.mean([r[c] for r in rows])) for c in cols}
-        if v.startswith("baseline"):
-            base = mean
-        line = f"{v:9s} " + " ".join(f"{c}={mean[c]:.3f}" for c in cols)
-        if base is not None and v != "baseline":
-            line += ("   Δvs-base: "
-                     + " ".join(f"{c}={mean[c]-base[c]:+.3f}"
-                                for c in ("AP", "AP_small")))
-        print(line)
+        seeds = sorted({s for v, s in by if regime(v) == suffix})
+        label = {"": "from scratch", "_ft": "fine-tune",
+                 "_pc": "paired-color from scratch",
+                 "_ft_pc": "paired-color fine-tune"}[suffix]
+        print(f"\n=== Held-out ablation [{label}] "
+              f"(mean over seeds {seeds}) ===")
+        base = None
+        for v in variants:
+            rows = [by[(v, s)] for s in seeds if (v, s) in by]
+            if not rows:
+                continue
+            mean = {c: float(np.mean([r[c] for r in rows])) for c in cols}
+            if v.startswith("baseline"):
+                base = mean
+            line = (f"{v:12s} n={len(rows)} "
+                    + " ".join(f"{c}={mean[c]:.3f}" for c in cols))
+            if base is not None and not v.startswith("baseline"):
+                line += ("   Δvs-base: "
+                         + " ".join(f"{c}={mean[c]-base[c]:+.3f}"
+                                    for c in ("AP", "AP_small")))
+            print(line)
 
 
 def main():
@@ -204,6 +218,11 @@ def main():
                     help="pretrained overlay (paper-regime fine-tune); "
                          "results tagged <variant>_ft")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--color-mode", default="class",
+                    choices=["class", "paired"],
+                    help="'paired': classes share colors pairwise and "
+                         "differ only by geometry (small-object-hard "
+                         "regime); results tagged <variant>_pc")
     ap.add_argument("--table-only", action="store_true")
     args = ap.parse_args()
 
@@ -215,13 +234,16 @@ def main():
         return
 
     schedule = [int(x) for x in args.schedule.split(",")]
-    data_root = os.path.join(ABLATION_DIR, "data")
-    ensure_dataset(data_root, args.train_n, args.val_n)
+    data_root = os.path.join(
+        ABLATION_DIR, "data" if args.color_mode == "class" else "data_paired")
+    run_tag = "" if args.color_mode == "class" else "_pc"
+    ensure_dataset(data_root, args.train_n, args.val_n,
+                   color_mode=args.color_mode)
 
     for seed in [int(s) for s in args.seeds.split(",")]:
         for variant in args.variants.split(","):
             run_variant(variant, seed, schedule, data_root,
-                        init_npz=args.init_npz, lr=args.lr)
+                        init_npz=args.init_npz, lr=args.lr, run_tag=run_tag)
 
     with open(results_file) as f:
         print_table(json.load(f))
