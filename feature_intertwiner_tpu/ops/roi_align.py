@@ -28,10 +28,36 @@ Replaces the reference's C/CUDA extension
    count by packing all 4 corners into 4C-channel rows (shifted-concat
    table) are bit-exact but SLOWER (131 ms): gather cost is byte-bound,
    and packing adds the table-build traffic. Block gathers
-   (slice_sizes=(1,2,2,C)) are ~2× slower per byte. Don't "optimize" this
-   path without beating the 45 GB/s wall — that requires a DMA-pipelined
-   kernel with data-dependent transfer sizes, which Pallas can't express
-   (static block shapes), or reading corners more than once.
+   (slice_sizes=(1,2,2,C)) are ~2× slower per byte.
+
+   Round-2 follow-up (scripts/profile_block_gather.py, v5e): every
+   formulation VERDICT r1 #2 proposed was measured.
+   - 1-D contiguous blocks [S,C] from the flattened pyramid run FAR below
+     the row wall (S=4: 1.3, S=8: 2.5, S=16: 4.7, S=32: 8.7 GB/s of used
+     bytes) — XLA's 1-D-operand block gather is descriptor-bound, not
+     byte-bound. Corner-pair [2,C] blocks: 0.6 GB/s. All reject.
+   - 2-D window gathers [Sy,Sx,C] from the UNFLATTENED [B,H,W,C] map are
+     the one formulation that beats the row engine per byte: ~67 GB/s
+     ([8,32,256] windows, 2.4× the single-stream row rate). But a window
+     covering a box's whole 7² sample grid ([16,32]·C = 262 KB) moves
+     2.6× the bytes of the 196 corner rows (100 KB), so it nets ~0.6× for
+     the classifier stage — and the multilevel path would additionally
+     need the pyramid stacked at P2 resolution (3× the buffer memory,
+     +4.4 GB at batch 32) because a 5-D gather needs one operand. For the
+     14² pooling paths the byte ratio flips (784 rows = 400 KB vs the
+     same 262 KB window) and windows would win ~2.3× on that slice, but
+     those slices are ~31 ms of a ~470 ms train step / ~28 ms of a 352 ms
+     inference batch, and the stack-build cost eats most of it. Rejected:
+     keep the row-gather formulation; it IS the wall for the dominant 7²
+     stage.
+   - The remaining door is a Pallas kernel that manually DMAs per-box
+     [Sy,Sx,C] windows HBM→VMEM (dynamic offsets, double-buffered — the
+     paged-attention pattern) and interpolates on the MXU. Estimated
+     30-50 ms for the 7² stage IF DMA sustains ≥300 GB/s, but the
+     in-kernel matmul must be block-diagonal over a box tile (Mosaic
+     forbids 3-D dot/batched dims), burning BT× the FLOPs, and the
+     round-1 two-matmul kernel already stopped lowering under the current
+     toolchain — high-risk, not attempted this round.
 
 3. :func:`crop_and_resize_pallas` — Pallas kernel holding a channel-tile of
    the feature map resident in VMEM; boxes are streamed through SMEM and

@@ -14,6 +14,15 @@ Measures, for the batch-32-inference-like shape (32x1000 RoIs, 256 ch bf16):
   - baseline: 4-corner row gather (the production multilevel path)
   - block gathers slice_sizes=(S, C) for S in {4, 8, 16, 32} at the same
     total usable-byte volume, reporting achieved GB/s per formulation.
+  - corner-pair [2,C] blocks and 2-D window [Sy,Sx,C] gathers from the
+    unflattened map (one window covers a box's whole sample grid).
+
+RESULTS (v5e, 2026-08-17): row gather 27.5 GB/s single-stream; 1-D blocks
+1.3/2.5/4.7/8.7 GB/s for S=4/8/16/32 (descriptor-bound — reject); pairs
+0.6 GB/s (reject); 2-D windows ~67 GB/s — the only formulation beating the
+row engine per byte, but byte volume (2.6x for 7^2 crops) and the stacked-
+pyramid memory it needs net it out. Full analysis: ops/roi_align.py
+module docstring ("Round-2 follow-up").
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E401,E702
 
@@ -93,8 +102,9 @@ def main():
     # Sy strided Sx-segments. Byte volume rises (Sy*Sx vs 196 unique-ish
     # rows) so this needs the block engine to beat the row wall per byte.
     img = jnp.asarray(rng.randn(32, 256, 256, C), DTYPE)
-    n_boxes = N
-    for sy, sx in ((8, 32), (16, 32), (24, 32), (16, 64)):
+    for sy, sx in ((8, 32), (12, 32), (16, 32), (24, 32), (16, 64)):
+        # cap the materialized output at ~1.5 GB
+        n_boxes = min(N, int(1.5e9) // (sy * sx * C * 2))
         bi = rng.randint(0, 32, (n_boxes, 1))
         ys = rng.randint(0, 256 - sy, (n_boxes, 1))
         xs = rng.randint(0, 256 - sx, (n_boxes, 1))
