@@ -34,10 +34,14 @@ from ablation_check import ABLATION_DIR, build_cfg  # noqa: E402
 def main():
     folder = sys.argv[1]
     n_im = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    variant = os.path.basename(folder.rstrip("/")).rsplit("_s", 1)[0]
-    seed = int(os.path.basename(folder.rstrip("/")).rsplit("_s", 1)[1])
+    import re
+    m = re.match(r"(.+)_s(\d+)((?:_ft)?(?:_pc)?)$",
+                 os.path.basename(folder.rstrip("/")))
+    assert m, f"unrecognized run folder name: {folder}"
+    variant, seed, tag = m.group(1), int(m.group(2)), m.group(3)
     cfg = build_cfg(variant, seed, [16, 4, 4], folder)
-    _, val, _ = get_data(cfg, data_root=os.path.join(ABLATION_DIR, "data"))
+    data_dir = "data_paired" if tag.endswith("_pc") else "data"
+    _, val, _ = get_data(cfg, data_root=os.path.join(ABLATION_DIR, data_dir))
     cfg.DATASET.NUM_CLASSES = val.num_classes
 
     model = InterNet.from_config(cfg, dtype=jnp.float32)
