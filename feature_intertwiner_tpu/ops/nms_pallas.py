@@ -24,7 +24,6 @@ Inputs are pre-sorted by descending score (same contract as
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import functools
 from typing import Optional
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -31,7 +31,6 @@ import numpy as np
 import optax
 from flax import struct
 
-from . import losses as L
 from .optim import clip_global_norm, make_optimizer, trainable_mask
 
 EPS = 1e-20

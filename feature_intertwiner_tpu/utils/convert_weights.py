@@ -19,7 +19,7 @@ Layout conversions:
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from flax import traverse_util
