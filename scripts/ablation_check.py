@@ -133,7 +133,16 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
 
     trainer = Trainer(model, cfg, variables).resume()
     t0 = time.time()
-    train_model(trainer, loader, "all")
+    if init_npz:
+        # paper-regime fine-tune: the reference's 3-stage schedule
+        # (main.py:65-82) — 'heads' first so gradients from the freshly
+        # initialized Dev/critic modules cannot corrupt the pretrained
+        # backbone before they converge, then '4+', then 'all'.
+        for stage in ("heads", "4+", "all"):
+            train_model(trainer, loader, stage)
+    else:
+        # from-scratch: everything is fresh, single 'all' stage
+        train_model(trainer, loader, "all")
     train_time = time.time() - t0
 
     eval_vars = {"params": trainer.state.params}
