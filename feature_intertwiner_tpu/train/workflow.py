@@ -603,22 +603,11 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
         t0 = time.time()
         scales = [int(s) for s in (cfg.TEST.MULTI_SCALE or [])]
         if scales:
-            # multi-scale testing: run every scale, fuse per image with
-            # cross-scale per-class NMS in original-image coordinates
-            ratio = cfg.DATA.IMAGE_MIN_DIM / cfg.DATA.IMAGE_MAX_DIM
-            per_image = {int(i): [] for i in image_ids}
-            for s in scales:
-                scaled = model.clone(image_size=s)
-                for (img_idx, _, boxes, cls, sc, fm) in _detect_images(
-                        scaled, variables, cfg, val_dataset, image_ids,
-                        eval_masks, min_dim=int(round(s * ratio)), max_dim=s,
-                        mesh=mesh):
-                    per_image[int(img_idx)].append((boxes, cls, sc, fm))
-            det_stream = (
-                (i, None, *fuse_multiscale(
-                    per_image[int(i)], cfg.TEST.DET_MAX_INSTANCES,
-                    cfg.TEST.MULTI_SCALE_NMS_THRESHOLD))
-                for i in image_ids)
+            # multi-scale testing: all scales molded from one decode per
+            # image, fused per image with cross-scale per-class NMS
+            det_stream = _detect_images_multiscale(
+                model, variables, cfg, val_dataset, image_ids, eval_masks,
+                scales, mesh=mesh)
         else:
             det_stream = _detect_images(model, variables, cfg, val_dataset,
                                         image_ids, eval_masks, mesh=mesh)
