@@ -181,21 +181,21 @@ def print_table(results):
     cols = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large"]
 
     def regime(v):
-        for suffix in ("_ft_pc", "_ft", "_pc"):
-            if v.endswith(suffix):
-                return suffix
-        return ""
+        # everything after the base variant name groups a regime: '' (from
+        # scratch), '_ft', '_pc', '_ft_pc', '_pc_<tag>', ...
+        return v[len(v.split("_")[0]):]
 
+    labels = {"": "from scratch", "_ft": "fine-tune",
+              "_pc": "paired-color from scratch",
+              "_ft_pc": "paired-color fine-tune"}
     by = {(r["variant"], r["seed"]): r for r in results}
-    for suffix in ("", "_ft", "_pc", "_ft_pc"):
+    for suffix in sorted({regime(v) for v, _ in by}):
         variants = sorted({v for v, _ in by if regime(v) == suffix},
                           key=lambda v: not v.startswith("baseline"))
         if not variants:
             continue
         seeds = sorted({s for v, s in by if regime(v) == suffix})
-        label = {"": "from scratch", "_ft": "fine-tune",
-                 "_pc": "paired-color from scratch",
-                 "_ft_pc": "paired-color fine-tune"}[suffix]
+        label = labels.get(suffix, suffix.strip("_"))
         print(f"\n=== Held-out ablation [{label}] "
               f"(mean over seeds {seeds}) ===")
         base = None
@@ -232,6 +232,10 @@ def main():
                     help="'paired': classes share colors pairwise and "
                          "differ only by geometry (small-object-hard "
                          "regime); results tagged <variant>_pc")
+    ap.add_argument("--tag", default="",
+                    help="extra run tag appended to the variant name so a "
+                         "new regime (e.g. a longer schedule) does not "
+                         "overwrite existing records")
     ap.add_argument("--table-only", action="store_true")
     args = ap.parse_args()
 
@@ -246,6 +250,8 @@ def main():
     data_root = os.path.join(
         ABLATION_DIR, "data" if args.color_mode == "class" else "data_paired")
     run_tag = "" if args.color_mode == "class" else "_pc"
+    if args.tag:
+        run_tag += f"_{args.tag}"
     ensure_dataset(data_root, args.train_n, args.val_n,
                    color_mode=args.color_mode)
 
