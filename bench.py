@@ -8,7 +8,7 @@ The reference prints sec/image at eval time but never published a number
 reference-class throughput (Mask-R-CNN-family R50-FPN @1024² on the
 setup.sh-era GPU), so vs_baseline = value / 2.5.
 
-Knobs (env): BENCH_BATCH (default 4), BENCH_ITERS (default 10),
+Knobs (env): BENCH_BATCH (default 32), BENCH_ITERS (default 8),
 BENCH_IMAGE (default 1024), BENCH_BACKBONE (default resnet50),
 BENCH_DTYPE (default bfloat16), BENCH_MODE (inference|train).
 Train mode measures the full SPMD-ready train step (fwd+bwd+intertwiner
