@@ -170,6 +170,9 @@ def _default_tree() -> AttrDict:
         BN_LEARN=False,
         DO_VALIDATION=True,
         SAVE_FREQ_WITHIN_EPOCH=10,
+        # new (no reference equivalent): keep only the N newest checkpoints
+        # on disk; 0 = keep all (the reference's behavior)
+        KEEP_CHECKPOINTS=0,
         FORCE_START_EPOCH=0,
         FPN_OT_LOSS=False,
         FPN_OT_LOSS_FAC=1.0,

@@ -49,16 +49,42 @@ def checkpoint_dir(result_folder: str) -> str:
     return os.path.abspath(os.path.join(result_folder, "checkpoints"))
 
 
+def prune_old(result_folder: str, keep: int):
+    """Delete all but the ``keep`` newest committed checkpoints.
+
+    The reference keeps every epoch's checkpoint on disk
+    (``save_model``, tools/utils.py:567-586); at ~0.4 GB per save a long
+    multi-arm run fills a disk. ``keep <= 0`` preserves that behavior;
+    otherwise the oldest (epoch, iter) dirs beyond ``keep`` are removed.
+    Resume always uses the newest (``find_last``), so pruning never
+    changes resume semantics."""
+    if keep <= 0:
+        return
+    d = checkpoint_dir(result_folder)
+    if not os.path.isdir(d):
+        return
+    found = []
+    for name in os.listdir(d):
+        m = CKPT_RE.match(name)
+        if m:
+            found.append(((int(m.group(1)), int(m.group(2))), name))
+    import shutil
+    for _, name in sorted(found)[:-keep]:
+        shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+
 def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
-                    iter_ind: int, blocking: bool = True):
+                    iter_ind: int, blocking: bool = True, keep: int = 0):
     """``blocking=False`` returns as soon as the device->host snapshot is
     taken; the disk write finishes on a background thread (used for the
     intra-epoch saves in the train loop). The returned path exists only
-    once the write commits — find_last/restore_checkpoint wait for it."""
+    once the write commits — find_last/restore_checkpoint wait for it.
+    ``keep > 0`` prunes all but the ``keep`` newest checkpoints first."""
     path = os.path.join(checkpoint_dir(result_folder),
                         f"ckpt_ep{epoch:04d}_iter{iter_ind:06d}")
     ckpt = _checkpointer()
     ckpt.wait_until_finished()  # at most one save in flight
+    prune_old(result_folder, keep)
     payload = serialization.to_state_dict(jax.device_get({
         "params": state.params,
         "batch_stats": state.batch_stats,

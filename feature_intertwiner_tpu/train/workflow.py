@@ -171,7 +171,7 @@ def train_model(trainer: Trainer, loader, layers: str,
                     start_iter=trainer.iter, stage_name=stage_name,
                     epoch_str=epoch_str)
         ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state, ep,
-                             len(loader))
+                             len(loader), keep=cfg.TRAIN.KEEP_CHECKPOINTS)
         trainer.iter = 1
         trainer.epoch = ep
 
@@ -282,7 +282,8 @@ def train_epoch(trainer: Trainer, loader, layers: str, epoch: int,
 
         if it % save_base == 0:
             ckpt.save_checkpoint(cfg.MISC.RESULT_FOLDER, trainer.state,
-                                 epoch, it, blocking=False)
+                                 epoch, it, blocking=False,
+                                 keep=cfg.TRAIN.KEEP_CHECKPOINTS)
     trainer.iter = 1
 
 

@@ -71,6 +71,8 @@ def tsne_embed(features: np.ndarray, perplexity: float = 30.0,
     import jax.numpy as jnp
 
     n = features.shape[0]
+    if n <= 1:  # student-t kernel has no off-diagonal mass to normalize
+        return np.zeros((n, n_components), np.float32)
     P = jnp.asarray(joint_affinities(features, perplexity, metric),
                     jnp.float32)
     lr = float(learning_rate) if learning_rate else max(n / 12.0, 50.0)

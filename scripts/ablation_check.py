@@ -83,6 +83,7 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
     cfg.TRAIN.BN_LEARN = True       # from-scratch training needs live BN
     cfg.TRAIN.DO_VALIDATION = False  # evaluated explicitly below
     cfg.TRAIN.SAVE_FREQ_WITHIN_EPOCH = 1  # end-of-epoch checkpoints only
+    cfg.TRAIN.KEEP_CHECKPOINTS = 2  # ~0.4 GB/save; 48-epoch arms fill disks
     cfg.MISC.SEED = 1000 + seed
 
     if variant == "baseline":

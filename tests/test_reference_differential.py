@@ -34,32 +34,34 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-class _DataView:
-    """torch-0.3 ``.data`` semantics: allows ``t.data[0]`` on 0-dim tensors."""
-
-    def __init__(self, t):
-        self._t = t
-
-    def __getitem__(self, key):
-        if self._t.dim() == 0:
-            return self._t.item()
-        return self._t.detach()[key]
-
-    def __getattr__(self, name):
-        return getattr(self._t.detach(), name)
-
-
 @contextlib.contextmanager
 def _old_torch():
+    """torch-0.3 compatibility window for running reference code.
+
+    - ``.cuda()`` becomes a no-op;
+    - ``.data`` returns a plain detached tensor (indexable, usable as an
+      index — ``proposals[pos_ind.data, :]``, layers.py:278);
+    - ``t[0]`` on a 0-dim tensor returns the python scalar (``t.data[0]``
+      was legal scalar access in torch 0.3, lib/layers.py:863 etc.).
+    """
     import torch
 
     orig_cuda = torch.Tensor.cuda
+    orig_getitem = torch.Tensor.__getitem__
     torch.Tensor.cuda = lambda self, *a, **k: self
-    torch.Tensor.data = property(lambda self: _DataView(self))
+
+    def getitem(self, key):
+        if self.dim() == 0 and isinstance(key, int) and key == 0:
+            return self.item()
+        return orig_getitem(self, key)
+
+    torch.Tensor.__getitem__ = getitem
+    torch.Tensor.data = property(lambda self: self.detach())
     try:
         yield torch
     finally:
         torch.Tensor.cuda = orig_cuda
+        torch.Tensor.__getitem__ = orig_getitem
         del torch.Tensor.data
 
 

@@ -7,7 +7,7 @@ import numpy as np
 from feature_intertwiner_tpu.utils.logging import (
     MetricsLogger, compute_eta, format_loss_line, print_log)
 from feature_intertwiner_tpu.utils.profiling import PhaseTimer, memory_probe
-from feature_intertwiner_tpu.utils.tsne import embed_features, plot_embedding
+from feature_intertwiner_tpu.utils.tsne import plot_embedding, tsne_embed
 from feature_intertwiner_tpu.utils.visualize import (
     display_instances, plot_loss_curves)
 
@@ -56,10 +56,10 @@ def test_tsne_embed_and_plot(tmp_path, rng):
     feats = np.concatenate([
         rng.randn(20, 32) + 5, rng.randn(20, 32) - 5]).astype(np.float32)
     cls = np.array([1] * 20 + [2] * 20)
-    emb = embed_features(feats, perplexity=5)
+    emb = tsne_embed(feats, perplexity=5, n_iter=60)
     assert emb.shape == (40, 2)
     path = plot_embedding(emb, cls, class_names=["BG", "a", "b"],
-                          save_path=str(tmp_path / "tsne.png"))
+                          out_path=str(tmp_path / "tsne.png"))
     assert os.path.exists(path)
 
 
@@ -79,8 +79,7 @@ def test_phase_timer_and_memory_probe(capsys):
 
 
 def test_tsne_degenerate_sample_counts():
-    from feature_intertwiner_tpu.utils.tsne import embed_features
-    assert embed_features(np.zeros((0, 8))).shape == (0, 2)
-    assert embed_features(np.zeros((1, 8))).shape == (1, 2)
-    out = embed_features(np.random.RandomState(0).randn(2, 8))
+    assert tsne_embed(np.zeros((0, 8))).shape == (0, 2)
+    assert tsne_embed(np.zeros((1, 8))).shape == (1, 2)
+    out = tsne_embed(np.random.RandomState(0).randn(2, 8), n_iter=20)
     assert out.shape == (2, 2) and np.isfinite(out).all()

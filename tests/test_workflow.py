@@ -238,3 +238,24 @@ def test_end_of_epoch_resume_rolls_over(env):
     train_model(trainer, loader, "heads")  # SCHEDULE [1,0,0]: stage ends ep 1
     assert trainer.epoch == 2 and trainer.iter == 1
     assert int(trainer.state.step) == 0, "no iterations may run (or be drained)"
+
+
+def test_prune_old_keeps_newest(tmp_path):
+    """TRAIN.KEEP_CHECKPOINTS: only the N newest (epoch, iter) dirs survive;
+    keep=0 preserves everything (the reference keeps every epoch's save)."""
+    d = tmp_path / "checkpoints"
+    d.mkdir()
+    names = ["ckpt_ep0001_iter000075", "ckpt_ep0002_iter000010",
+             "ckpt_ep0002_iter000075", "ckpt_ep0010_iter000005"]
+    for n in names:
+        (d / n).mkdir()
+    (d / "ckpt_ep0003_iter000001.orbax-checkpoint-tmp-x").mkdir()  # uncommitted
+
+    ckpt.prune_old(str(tmp_path), keep=0)
+    assert sorted(os.listdir(d)) == sorted(
+        names + ["ckpt_ep0003_iter000001.orbax-checkpoint-tmp-x"])
+
+    ckpt.prune_old(str(tmp_path), keep=2)
+    kept = sorted(n for n in os.listdir(d) if ckpt.CKPT_RE.match(n))
+    assert kept == ["ckpt_ep0002_iter000075", "ckpt_ep0010_iter000005"]
+    assert ckpt.find_last(str(tmp_path)).endswith("ckpt_ep0010_iter000005")
