@@ -361,3 +361,286 @@ def test_config_defaults_match_reference(ref):
             if not same and (ns, key) not in _CONFIG_DIVERGENCES:
                 mismatches.append(f"{ns}.{key}: ref={rv!r} ours={ov!r}")
     assert not mismatches, "\n".join(mismatches)
+
+
+# ----------------------------------------------- proposal / detection layers
+
+
+def _ns(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def _novar(t, **kw):
+    """torch-0.4+ shim for ``Variable(x, requires_grad=..., volatile=...)``."""
+    return t
+
+
+def _nms_oracle_factory():
+    """Replicates ``nms_wrapper.nms`` (lib/nms/nms_wrapper.py:14-35) with the
+    numpy greedy oracle: per-sample greedy NMS (+1 convention, strict >,
+    matching the CUDA path the reference runs), truncated to the batch-min
+    keep count."""
+    from test_nms import np_greedy_nms
+
+    def oracle(dets, thresh):
+        d = np.asarray(dets.detach() if hasattr(dets, "detach") else dets)
+        keep = [np_greedy_nms(d[i, :, :4], d[i, :, 4], thresh)
+                for i in range(d.shape[0])]
+        m = min(len(k) for k in keep)
+        return np.stack([k[:m] for k in keep]).astype(np.int64)
+
+    return oracle
+
+
+def test_proposal_layer_matches_reference(ref, rng, monkeypatch):
+    """Full proposal path (lib/layers.py:71-139) vs ops/proposals.py on the
+    same RPN outputs, with the reference's nms monkeypatched to the exact
+    greedy oracle (its CUDA extension can't build here)."""
+    from feature_intertwiner_tpu.ops.proposals import proposal_layer as ours
+
+    h = w = 128
+    anchors = ref.layers.generate_pyramid_priors(
+        (16, 32), [0.5, 1, 2], [[16, 16], [8, 8]], [8, 16], 1
+    ).astype(np.float32)
+    a = anchors.shape[0]
+    bs = 2
+    fg = rng.rand(bs, a).astype(np.float32)
+    probs = np.stack([1.0 - fg, fg], axis=-1)
+    deltas = (rng.randn(bs, a, 4) * 0.2).astype(np.float32)
+    std = np.array([0.1, 0.1, 0.2, 0.2], np.float32)
+
+    cfg = _ns(RPN=_ns(PRE_NMS_LIMIT=400),
+              DATA=_ns(BBOX_STD_DEV=std, IMAGE_SHAPE=np.array([h, w, 3])))
+    monkeypatch.setattr(ref.layers, "nms", _nms_oracle_factory())
+    monkeypatch.setattr(ref.layers, "Variable", _novar)
+    with _old_torch():
+        want = ref.layers.proposal_layer(
+            [_t(probs), _t(deltas)], 100, 0.7, _t(anchors),
+            config=cfg).numpy()
+
+    got = np.asarray(ours(probs, deltas, anchors, std, (h, w),
+                          pre_nms_limit=400, proposal_count=100,
+                          nms_threshold=0.7))
+    k = want.shape[1]
+    assert k > 10
+    np.testing.assert_allclose(got[:, :k], want, rtol=1e-4, atol=2e-4)
+
+
+def test_detection_layer_matches_reference(ref, rng, monkeypatch):
+    """Inference detection layer (refine -> clip -> round -> filter ->
+    per-class NMS -> top-k; lib/layers.py:664-802) vs ops/detection.py."""
+    import torch
+
+    from feature_intertwiner_tpu.ops.detection import detection_layer as ours
+
+    h = w = 256
+    r, k, m = 120, 5, 20
+    lo = rng.uniform(0.0, 0.75, (r, 2))
+    hw = rng.uniform(0.05, 0.2, (r, 2))
+    rois = np.concatenate([lo, lo + hw], axis=1).astype(np.float32)
+    cls = (np.arange(r) % (k - 1)) + 1
+    logits = rng.randn(r, k).astype(np.float32)
+    logits[np.arange(r), cls] += 3.0
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    probs = probs.astype(np.float32)
+    deltas = (rng.randn(r, k, 4) * 0.1).astype(np.float32)
+    std = np.array([0.1, 0.1, 0.2, 0.2], np.float32)
+    windows = np.array([[10.0, 8.0, 240.0, 250.0]], np.float32)
+
+    cfg = _ns(
+        TEST=_ns(DET_MAX_INSTANCES=m, DET_NMS_THRESHOLD=0.3,
+                 DET_MIN_CONFIDENCE=0.4),
+        DATA=_ns(BBOX_STD_DEV=std, IMAGE_SHAPE=np.array([h, w, 3])),
+        MISC=_ns(GPU_COUNT=0),
+    )
+    monkeypatch.setattr(ref.layers, "nms", _nms_oracle_factory())
+    monkeypatch.setattr(ref.layers, "Variable", _novar)
+    # torch-0.3 unique1d concatenates ByteTensor+BoolTensor (illegal in
+    # modern torch); torch.unique(sorted=True) is its exact semantics
+    monkeypatch.setattr(ref.layers, "unique1d",
+                        lambda v: torch.unique(v.reshape(-1), sorted=True))
+    with _old_torch():
+        want, _ = ref.layers.detection_layer(
+            _t(rois[None]), _t(probs), _t(deltas), _t(windows), cfg)
+        want = want.numpy()
+
+    got, _, _ = ours(rois[None], probs[None], deltas[None], windows, std,
+                     (h, w), max_instances=m, nms_threshold=0.3,
+                     min_confidence=0.4)
+    got = np.asarray(got)
+    assert (want[0, :, 4] > 0).sum() > 5, "test data produced no detections"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+# --------------------------------------------------------- target assignment
+
+
+def test_rpn_targets_match_reference(ref, rng, monkeypatch, tmp_path):
+    """RPN target assignment (lib/layers.py:439-658) vs ops/targets.py.
+
+    The negative subsample is drawn from different RNG streams (the
+    reference uses np.random.permutation), so the comparison is on the
+    deterministic parts: the positive set (force-match + >=0.7, no pos
+    subsample when <=TRAIN_ANCHORS/2), the packed positive deltas, the
+    pos/neg budget split, and crowd exclusion of the sampled negatives."""
+    import jax
+
+    from feature_intertwiner_tpu.ops.targets import rpn_targets
+
+    anchors = ref.layers.generate_pyramid_priors(
+        (16, 32), [0.5, 1, 2], [[16, 16], [8, 8]], [8, 16], 1
+    ).astype(np.float32)
+    gt_boxes = np.zeros((6, 4), np.float32)
+    gt_boxes[0] = anchors[137]
+    gt_boxes[1] = anchors[800]
+    gt_boxes[2] = [40.0, 40.0, 90.0, 95.0]
+    gt_boxes[3] = [0.0, 0.0, 60.0, 60.0]        # crowd
+    gt_boxes[4] = [70.0, 70.0, 128.0, 128.0]    # crowd
+    gt_cls = np.array([1, 2, 3, -1, -2, 0], np.float32)  # 3 real, 2 crowd, pad
+    std = np.array([0.1, 0.1, 0.2, 0.2], np.float32)
+
+    cfg = _ns(
+        RPN=_ns(TRAIN_ANCHORS_PER_IMAGE=64, TARGET_POS_THRES=0.7,
+                TARGET_NEG_THRES=0.3),
+        CTRL=_ns(PROFILE_ANALYSIS=False),
+        MISC=_ns(LOG_FILE=str(tmp_path / "log.txt")),
+        DATA=_ns(BBOX_STD_DEV=std),
+    )
+    monkeypatch.setattr(ref.layers, "Variable", _novar)
+    orig_br = ref.layers.box_refinement
+    # torch-0.3 Variable row-indexing kept 2 dims; modern torch gives [4]
+    monkeypatch.setattr(
+        ref.layers, "box_refinement",
+        lambda b, g: orig_br(b.reshape(1, -1) if b.dim() == 1 else b,
+                             g.reshape(1, -1) if g.dim() == 1 else g))
+    with _old_torch():
+        np.random.seed(0)
+        want_match, want_bbox = ref.layers.prepare_rpn_target(
+            _t(anchors), _t(gt_cls[None]), _t(gt_boxes[None]), cfg,
+            curr_coco_im_id=_t(np.array([3])))
+        want_match = want_match.numpy()[0]
+        want_bbox = want_bbox.numpy()[0]
+        crowd_iou = ref.boxes.bbox_overlaps(
+            _t(anchors), _t(gt_boxes[3:5])).numpy().max(1)
+
+    out = rpn_targets(jax.random.PRNGKey(0), anchors,
+                      gt_cls[None].astype(np.int32), gt_boxes[None], std,
+                      train_anchors_per_image=64)
+    match = np.asarray(out.match)[0]
+    deltas = np.asarray(out.deltas)[0]
+
+    ref_pos = np.where(want_match == 1)[0]
+    our_pos = np.where(match == 1)[0]
+    assert 2 <= len(ref_pos) <= 32, "test data must avoid the pos subsample"
+    assert set(our_pos) == set(ref_pos)
+    # packed reference deltas are in ascending positive-anchor order
+    np.testing.assert_allclose(deltas[np.sort(our_pos)],
+                               want_bbox[:len(our_pos)],
+                               rtol=1e-4, atol=1e-4)
+    # both fill the budget with negatives
+    assert (want_match == -1).sum() == 64 - len(ref_pos)
+    assert (match == -1).sum() == 64 - len(our_pos)
+    # our sampled negatives obey the crowd exclusion (checked with the
+    # reference's own IoU code)
+    assert np.all(crowd_iou[match == -1] < 0.001)
+
+
+def test_detection_targets_match_reference(ref, rng, monkeypatch):
+    """Detection target sampling (lib/layers.py:224-433) vs ops/targets.py.
+
+    Positives travel with their RoI box, so the positive (roi -> class,
+    delta, mask) mapping is deterministic whenever #pos <= the positive
+    quota (both sides then take every positive); negatives differ by RNG
+    stream and are compared by count. The reference's CropAndResizeFunction
+    is monkeypatched to our crop_and_resize, so the mini-mask coordinate
+    transform and rounding are what's under differential test."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from feature_intertwiner_tpu.ops.roi_align import crop_and_resize
+    from feature_intertwiner_tpu.ops.targets import detection_targets
+
+    g, p, r = 8, 64, 48
+    mm = 32  # mini-mask resolution
+    lo = rng.uniform(0.0, 0.7, (4, 2))
+    hw = rng.uniform(0.1, 0.25, (4, 2))
+    real = np.concatenate([lo, lo + hw], axis=1).astype(np.float32)
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_boxes[:4] = real
+    gt_boxes[4] = [0.05, 0.05, 0.2, 0.2]    # crowd (small: keeps negs eligible)
+    gt_boxes[5] = [0.75, 0.75, 0.95, 0.95]  # crowd
+    gt_cls = np.array([1, 2, 3, 2, -1, -3, 0, 0], np.float32)
+    gt_masks = (rng.rand(g, mm, mm) > 0.5).astype(np.float32)
+
+    jit = np.clip(
+        np.repeat(real, 2, axis=0) + rng.randn(8, 4).astype(np.float32) * 0.01,
+        0.0, 1.0)
+    lo2 = rng.uniform(0.0, 0.75, (p - 8, 2))
+    hw2 = rng.uniform(0.05, 0.2, (p - 8, 2))
+    props = np.concatenate(
+        [jit, np.concatenate([lo2, lo2 + hw2], 1)]).astype(np.float32)
+    std = np.array([0.1, 0.1, 0.2, 0.2], np.float32)
+
+    class _CRShim:
+        def __init__(self, ch, cw, extrapolation_value=0.0):
+            self.size = (ch, cw)
+
+        def __call__(self, image, boxes, box_ind):
+            img = image.detach().numpy().transpose(0, 2, 3, 1)
+            out = crop_and_resize(
+                jnp.asarray(img), jnp.asarray(boxes.detach().numpy()),
+                jnp.asarray(box_ind.detach().numpy().astype(np.int32)),
+                self.size)
+            return torch.from_numpy(
+                np.asarray(out, np.float32).transpose(0, 3, 1, 2))
+
+    cfg = _ns(
+        ROIS=_ns(TRAIN_ROIS_PER_IMAGE=r, ROI_POSITIVE_RATIO=0.33),
+        MRCNN=_ns(USE_MINI_MASK=True, MASK_SHAPE=[14, 14]),
+        DATA=_ns(BBOX_STD_DEV=std),
+        MISC=_ns(GPU_COUNT=0),
+    )
+    monkeypatch.setattr(ref.layers, "Variable", _novar)
+    monkeypatch.setattr(ref.layers, "CropAndResizeFunction", _CRShim)
+    with _old_torch():
+        torch.manual_seed(0)
+        rois_t, cls_t, del_t, mask_t = ref.layers.prepare_det_target(
+            _t(props[None]), _t(gt_cls[None]), _t(gt_boxes[None]),
+            _t(gt_masks[None]), cfg)
+        ref_rois = rois_t.numpy()[0]
+        ref_cls = cls_t.numpy()[0]
+        ref_del = del_t.numpy()[0]
+        ref_mask = mask_t.numpy()[0]
+
+    out = detection_targets(
+        jax.random.PRNGKey(1), props[None], gt_cls[None].astype(np.int32),
+        gt_boxes[None], gt_masks[None], std, rois_per_image=r,
+        positive_ratio=0.33, mask_shape=(14, 14), use_mini_mask=True)
+    our_rois = np.asarray(out.rois)[0]
+    our_cls = np.asarray(out.class_ids)[0]
+    our_del = np.asarray(out.deltas)[0]
+    our_mask = np.asarray(out.masks)[0]
+    pos_mask = np.asarray(out.pos_mask)[0]
+    valid = np.asarray(out.valid_mask)[0]
+
+    ref_posi = [i for i in range(r) if ref_cls[i] > 0]
+    our_posi = [i for i in range(r) if pos_mask[i]]
+    assert 2 <= len(ref_posi) <= int(r * 0.33), \
+        "test data must avoid the positive subsample"
+    ref_by_box = {tuple(ref_rois[i]): i for i in ref_posi}
+    our_by_box = {tuple(our_rois[i]): i for i in our_posi}
+    assert set(ref_by_box) == set(our_by_box)
+    for key, i in ref_by_box.items():
+        j = our_by_box[key]
+        assert our_cls[j] == ref_cls[i]
+        np.testing.assert_allclose(our_del[j], ref_del[i],
+                                   rtol=1e-4, atol=1e-4)
+        agree = (our_mask[j] == ref_mask[i]).mean()
+        assert agree >= 0.99, f"mask agreement {agree} at roi {key}"
+
+    # negative budget: int(pos/ratio - pos) on both sides
+    ref_negs = sum(1 for i in range(r)
+                   if ref_cls[i] == 0 and np.any(ref_rois[i] != 0.0))
+    our_negs = int((valid & ~pos_mask).sum())
+    assert ref_negs == our_negs == int(len(ref_posi) / 0.33 - len(ref_posi))
