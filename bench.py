@@ -31,7 +31,10 @@ _CHIP_PEAKS = {
     "TPU v5 lite": (197e12, 819e9),
     "TPU v5e": (197e12, 819e9),
     "TPU v4": (275e12, 1228e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v5p": (459e12, 2765e9),
     "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
 }
 
 
@@ -55,11 +58,17 @@ def chip_utilization(compiled, seconds_per_call):
         return {}
     import jax
     kind = jax.devices()[0].device_kind
-    peak_flops, peak_bw = _CHIP_PEAKS.get(kind, (197e12, 819e9))
-    out = {
-        "tflops_per_step": round(flops / 1e12, 3),
-        "mfu_pct": round(100.0 * flops / seconds_per_call / peak_flops, 2),
-    }
+    out = {"tflops_per_step": round(flops / 1e12, 3)}
+    if kind not in _CHIP_PEAKS:
+        # unknown chip: achieved FLOP/s is still meaningful, a made-up
+        # roofline is not — report what we measured, flag the gap
+        out["chip"] = kind
+        out["achieved_tflops_per_sec"] = round(
+            flops / seconds_per_call / 1e12, 2)
+        out["mfu_pct"] = None
+        return out
+    peak_flops, peak_bw = _CHIP_PEAKS[kind]
+    out["mfu_pct"] = round(100.0 * flops / seconds_per_call / peak_flops, 2)
     if byts > 0:
         out["hbm_gb_per_step"] = round(byts / 1e9, 3)
         out["hbm_util_pct"] = round(

@@ -12,10 +12,15 @@ shapes, ready for ``jax.device_put`` / ``shard_batch``.
 - ``'thread'`` — cheap, zero-copy handoff; cv2/PIL release the GIL so
   decode/resize parallelize, but the numpy glue (stacking, mask packing)
   serializes on the GIL.
-- ``'process'`` — fork-based worker processes (torch-DataLoader equivalent);
+- ``'process'`` — spawned worker processes (torch-DataLoader equivalent);
   the whole ``__getitem__`` parallelizes. Costs one pickle copy per batch on
-  the way back; the right choice on multi-core hosts where thread workers
-  can't keep a TPU's train step fed (VERDICT r1 weak #3).
+  the way back plus a per-epoch spawn (~1s, amortized over the epoch); the
+  right choice on multi-core hosts where thread workers can't keep a TPU's
+  train step fed (VERDICT r1 weak #3). Spawn, not fork: by training time the
+  parent holds JAX/libtpu runtime, orbax and monitor threads, and a fork
+  while any of them holds a malloc/grpc lock deadlocks the child. A stall
+  watchdog raises if no batch arrives for ``stall_timeout`` seconds instead
+  of spinning forever.
 """
 
 from __future__ import annotations
@@ -49,7 +54,8 @@ def _proc_worker(dataset, task_q, result_q):
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4, worker_mode: str = "thread"):
+                 prefetch: int = 4, worker_mode: str = "thread",
+                 stall_timeout: float = 300.0):
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"worker_mode {worker_mode!r}")
         self.dataset = dataset
@@ -60,6 +66,7 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.worker_mode = worker_mode
+        self.stall_timeout = stall_timeout
         self._epoch = 0
 
     def __len__(self):
@@ -91,12 +98,12 @@ class PrefetchLoader:
         yield from self._iter_thread()
 
     def _iter_process(self) -> Iterator[dict]:
-        """Fork-based worker pool with the same bounded-inflight semantics
+        """Spawned worker pool with the same bounded-inflight semantics
         as the thread path: slots are acquired before a task is queued, so
         at most ``max(prefetch, num_workers)`` batches are ever in flight or
         undelivered, and the earliest pending batch always owns a slot."""
         batches = list(self._index_batches())
-        ctx = multiprocessing.get_context("fork")
+        ctx = multiprocessing.get_context("spawn")
         task_q = ctx.Queue()
         result_q = ctx.Queue()
         nw = self.num_workers
@@ -127,17 +134,28 @@ class PrefetchLoader:
         results = {}
         try:
             next_bi = 0
+            import time
+            last_progress = time.monotonic()
             while next_bi < len(batches):
                 if next_bi in results:
                     batch = results.pop(next_bi)
                 else:
                     try:
                         bi, batch_i, err = result_q.get(timeout=5)
+                        last_progress = time.monotonic()
                     except queue.Empty:
                         if not any(p.is_alive() for p in procs):
                             raise RuntimeError(
                                 "all loader worker processes died without "
                                 "delivering output")
+                        if time.monotonic() - last_progress > \
+                                self.stall_timeout:
+                            raise RuntimeError(
+                                f"loader stalled: no batch for "
+                                f"{self.stall_timeout:.0f}s with "
+                                f"{sum(p.is_alive() for p in procs)} live "
+                                "workers (batch "
+                                f"{next_bi}/{len(batches)} pending)")
                         continue
                     if err is not None:
                         raise RuntimeError(

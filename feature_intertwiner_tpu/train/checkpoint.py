@@ -60,6 +60,13 @@ def prune_old(result_folder: str, keep: int):
     changes resume semantics."""
     if keep <= 0:
         return
+    _prune_to(result_folder, keep)
+
+
+def _prune_to(result_folder: str, keep: int):
+    """Delete all but exactly ``keep`` newest committed checkpoints
+    (``keep=0`` deletes every one — internal; the public knob's 0 means
+    'never prune', see :func:`prune_old`)."""
     d = checkpoint_dir(result_folder)
     if not os.path.isdir(d):
         return
@@ -69,7 +76,8 @@ def prune_old(result_folder: str, keep: int):
         if m:
             found.append(((int(m.group(1)), int(m.group(2))), name))
     import shutil
-    for _, name in sorted(found)[:-keep]:
+    drop = sorted(found)[:max(len(found) - keep, 0)]
+    for _, name in drop:
         shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
@@ -84,7 +92,11 @@ def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
                         f"ckpt_ep{epoch:04d}_iter{iter_ind:06d}")
     ckpt = _checkpointer()
     ckpt.wait_until_finished()  # at most one save in flight
-    prune_old(result_folder, keep)
+    if keep > 0:
+        # prune to keep-1 BEFORE the write (the previous save has committed,
+        # so the directory is stable): after this save commits, exactly
+        # ``keep`` checkpoints exist — the documented steady state
+        _prune_to(result_folder, keep - 1)
     payload = serialization.to_state_dict(jax.device_get({
         "params": state.params,
         "batch_stats": state.batch_stats,

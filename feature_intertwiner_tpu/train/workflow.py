@@ -115,21 +115,30 @@ class Trainer:
                 # full save_model payload: restore the intertwiner buffer and
                 # epoch/iter counters (parity: utils.py:329-347,374-389)
                 buf = extras.get("buffer")
+                cnt = extras.get("buffer_cnt")
                 if buf is not None and np.size(buf) and \
-                        np.shape(buf) == self.state.buffer.shape:
+                        np.shape(buf) == self.state.buffer.shape and \
+                        cnt is not None and \
+                        np.shape(cnt) == self.state.buffer_cnt.shape:
                     self.state = self.state.replace(
                         buffer=jnp.asarray(np.asarray(buf, np.float32)),
-                        buffer_cnt=jnp.asarray(np.asarray(
-                            extras["buffer_cnt"], np.float32)))
+                        buffer_cnt=jnp.asarray(np.asarray(cnt, np.float32)))
                     log(f"restored intertwiner buffer {np.shape(buf)}")
                 elif buf is not None and np.size(buf):
-                    log(f"buffer size mismatch {np.shape(buf)} vs "
+                    log(f"buffer/cnt shape mismatch {np.shape(buf)} vs "
                         f"{tuple(self.state.buffer.shape)}; reinitialized")
                 if extras.get("epoch") is not None:
                     self.epoch = int(extras["epoch"])
                     self.iter = int(extras.get("iter", 0)) + 1
                     log(f"resumed counters from payload (ep {self.epoch}, "
                         f"iter {self.iter - 1})")
+                if self.cfg.TRAIN.FORCE_START_EPOCH:
+                    # same escape hatch as the orbax branch above: use the
+                    # payload as weights, restart the schedule where asked
+                    self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
+                    self.iter = 1
+                    log(f"FORCE_START_EPOCH={self.epoch}: payload counters "
+                        "overridden")
             elif path.endswith((".h5", ".hdf5")):
                 lp, ls = cw.convert_keras_h5(path, self.cfg.MODEL.BACKBONE)
             else:
@@ -383,135 +392,59 @@ def fuse_multiscale(per_scale, max_instances, thresh):
             [masks[i] for i in keep])
 
 
-def _detect_images(model, variables, cfg, val_dataset, image_ids,
-                   eval_masks, min_dim=None, max_dim=None, mesh=None):
-    """Chunked jitted inference at one scale; host-side image loading/molding
-    runs on a worker thread, overlapped with device inference on the previous
-    chunk. Yields (img_idx, image, boxes, class_ids, scores, full_masks) in
-    original-image coordinates.
+def _make_eval_infer(model, eval_masks, mesh):
+    """One jitted inference closure: sharded over the data mesh when given
+    (the reference evals through nn.DataParallel the same way,
+    workflow.py:380), plain jit otherwise."""
+    if mesh is not None:
+        from ..parallel import make_parallel_eval_step, shard_batch
+        eval_step = make_parallel_eval_step(model, mesh,
+                                            with_masks=eval_masks)
 
-    With ``mesh`` the batch is sharded over the data axis (the reference
-    evals through nn.DataParallel the same way, workflow.py:380)."""
+        def infer(v, im, win):
+            sharded = shard_batch({"im": im, "win": win}, mesh)
+            return eval_step(v, sharded["im"], sharded["win"])
+        return infer
+
+    @jax.jit
+    def infer(v, im, win):
+        return model.apply(v, im, mode="inference", windows=win,
+                           with_masks=eval_masks)
+    return infer
+
+
+def _detect_stream(model, variables, cfg, val_dataset, image_ids,
+                   eval_masks, forms, combine, mesh=None):
+    """Shared chunked-eval pipeline behind both detection streams.
+
+    ``forms`` is a list of (infer_fn, min_dim, max_dim) inference forms, all
+    molded from ONE decode per image; ``combine`` reduces each image's
+    per-form (boxes, class_ids, scores, masks) list to the final tuple.
+    Host-side decode/molding runs on worker threads, overlapped with device
+    inference on the previous chunk (dispatch is async; device_get syncs);
+    host unmold of chunk i-1 overlaps device inference on chunk i. Yields
+    (img_idx, image, boxes, class_ids, scores, full_masks) in original-image
+    coordinates."""
     bs = max(1, cfg.TEST.BATCH_SIZE)
     if mesh is not None:
         n_dev = mesh.devices.size
         bs = max(bs, n_dev)
         bs += (-bs) % n_dev  # shardable chunk size
-        from ..parallel import make_parallel_eval_step, replicate, shard_batch
-        eval_step = make_parallel_eval_step(model, mesh, with_masks=eval_masks)
+        from ..parallel import replicate
         variables = replicate(variables, mesh)
-
-        def infer(v, im, win):
-            sharded = shard_batch({"im": im, "win": win}, mesh)
-            return eval_step(v, sharded["im"], sharded["win"])
-    else:
-        @jax.jit
-        def infer(v, im, win):
-            return model.apply(v, im, mode="inference", windows=win,
-                               with_masks=eval_masks)
 
     import concurrent.futures as cf
     img_pool = cf.ThreadPoolExecutor(max_workers=4)
+    # ship images in the model's compute dtype: the forward casts to
+    # model.dtype before the backbone anyway, so converting on the host is
+    # bit-identical and halves H2D bytes for bf16 models
+    in_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32)
 
     def prepare(start):
         chunk = image_ids[start:start + bs]
         # per-image decode+resize in parallel: PIL/cv2 release the GIL, and
         # serial molding of a whole chunk is the host-side bottleneck on
         # multi-core hosts (device inference is ~10ms/image)
-        images = list(img_pool.map(
-            lambda i: val_dataset.load_image(int(i)), chunk))
-        pad = bs - len(images)
-        molded, metas, windows = mold_inputs(images, cfg, min_dim, max_dim)
-        if pad:
-            molded = np.concatenate(
-                [molded, np.zeros_like(molded[:1]).repeat(pad, 0)])
-            windows = np.concatenate([windows, windows[:1].repeat(pad, 0)])
-        return chunk, images, molded, windows
-
-    def finalize(chunk, images, windows, dev_out):
-        """D2H + unmold one chunk (runs while the device computes the next)."""
-        out = jax.device_get(dev_out)
-        dets = np.asarray(out["detections"], np.float32)
-        # bbox-only eval never computes masks; with masks, the transfer is
-        # the class-selected [B, M, mh, mw] (see forward_inference)
-        masks = (np.asarray(out["masks"], np.float32)
-                 if eval_masks else None)
-        for k, img_idx in enumerate(chunk):
-            boxes, class_ids, scores, full_masks = unmold_detections(
-                dets[k], masks[k] if masks is not None else None,
-                images[k].shape, windows[k], cfg)
-            yield (img_idx, images[k], boxes, class_ids, scores, full_masks)
-
-    # ship images in the model's compute dtype: the forward casts to
-    # model.dtype before the backbone anyway, so converting on the host is
-    # bit-identical and halves H2D bytes for bf16 models
-    in_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32)
-
-    pool = cf.ThreadPoolExecutor(max_workers=1)
-    starts = list(range(0, len(image_ids), bs))
-    pending = pool.submit(prepare, starts[0]) if starts else None
-    prev = None  # one-deep pipeline: host unmold of chunk i-1 overlaps
-    # device inference on chunk i (dispatch is async; device_get syncs)
-    try:
-        for si, start in enumerate(starts):
-            chunk, images, molded, windows = pending.result()
-            pending = (pool.submit(prepare, starts[si + 1])
-                       if si + 1 < len(starts) else None)
-            dev_out = infer(variables, jnp.asarray(molded, in_dtype),
-                            jnp.asarray(windows))
-            if prev is not None:
-                yield from finalize(*prev)
-            prev = (chunk, images, windows, dev_out)
-        if prev is not None:
-            yield from finalize(*prev)
-    finally:
-        pool.shutdown(wait=False)
-        img_pool.shutdown(wait=False)
-
-
-def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
-                              eval_masks, scales, mesh=None):
-    """Multi-scale inference that decodes each image ONCE.
-
-    Chunk-major: for every image chunk, all test scales are molded from the
-    same decoded arrays and dispatched back-to-back, then fused per image
-    with cross-scale per-class NMS (round 1 iterated scale-major and paid
-    one PNG decode per scale per image — VERDICT r1 weak #7). Yields
-    (img_idx, image, boxes, class_ids, scores, full_masks) in original-image
-    coordinates, same shape as :func:`_detect_images`."""
-    ratio = cfg.DATA.IMAGE_MIN_DIM / cfg.DATA.IMAGE_MAX_DIM
-    bs = max(1, cfg.TEST.BATCH_SIZE)
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        bs = max(bs, n_dev)
-        bs += (-bs) % n_dev
-        from ..parallel import make_parallel_eval_step, replicate, shard_batch
-        variables = replicate(variables, mesh)
-
-    forms = []
-    for s in scales:
-        scaled = model.clone(image_size=s)
-        if mesh is not None:
-            eval_step = make_parallel_eval_step(scaled, mesh,
-                                                with_masks=eval_masks)
-
-            def infer(v, im, win, _step=eval_step):
-                from ..parallel import shard_batch as _sb
-                sharded = _sb({"im": im, "win": win}, mesh)
-                return _step(v, sharded["im"], sharded["win"])
-        else:
-            @jax.jit
-            def infer(v, im, win, _m=scaled):
-                return _m.apply(v, im, mode="inference", windows=win,
-                                with_masks=eval_masks)
-        forms.append((infer, int(round(s * ratio)), int(s)))
-
-    import concurrent.futures as cf
-    img_pool = cf.ThreadPoolExecutor(max_workers=4)
-    in_dtype = (jnp.bfloat16 if model.dtype == jnp.bfloat16 else jnp.float32)
-
-    def prepare(start):
-        chunk = image_ids[start:start + bs]
         images = list(img_pool.map(
             lambda i: val_dataset.load_image(int(i)), chunk))
         pad = bs - len(images)
@@ -526,9 +459,13 @@ def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
             molds.append((molded, windows))
         return chunk, images, molds
 
-    def finalize(chunk, images, windows_list, dev_outs):
+    def finalize(chunk, images, molds, dev_outs):
+        """D2H + unmold one chunk (runs while the device computes the next).
+
+        bbox-only eval never computes masks; with masks, the transfer is
+        the class-selected [B, M, mh, mw] (see forward_inference)."""
         per_image = {int(i): [] for i in chunk}
-        for (_, windows), dev_out in zip(windows_list, dev_outs):
+        for (_, windows), dev_out in zip(molds, dev_outs):
             out = jax.device_get(dev_out)
             dets = np.asarray(out["detections"], np.float32)
             masks = (np.asarray(out["masks"], np.float32)
@@ -538,15 +475,12 @@ def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
                     dets[k], masks[k] if masks is not None else None,
                     images[k].shape, windows[k], cfg))
         for k, img_idx in enumerate(chunk):
-            fused = fuse_multiscale(per_image[int(img_idx)],
-                                    cfg.TEST.DET_MAX_INSTANCES,
-                                    cfg.TEST.MULTI_SCALE_NMS_THRESHOLD)
-            yield (img_idx, images[k], *fused)
+            yield (img_idx, images[k], *combine(per_image[int(img_idx)]))
 
     pool = cf.ThreadPoolExecutor(max_workers=1)
     starts = list(range(0, len(image_ids), bs))
     pending = pool.submit(prepare, starts[0]) if starts else None
-    prev = None
+    prev = None  # one-deep pipeline
     try:
         for si, start in enumerate(starts):
             chunk, images, molds = pending.result()
@@ -564,6 +498,37 @@ def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
     finally:
         pool.shutdown(wait=False)
         img_pool.shutdown(wait=False)
+
+
+def _detect_images(model, variables, cfg, val_dataset, image_ids,
+                   eval_masks, min_dim=None, max_dim=None, mesh=None):
+    """Chunked jitted inference at one scale (detections pass through
+    unchanged — no cross-form fusion)."""
+    forms = [(_make_eval_infer(model, eval_masks, mesh), min_dim, max_dim)]
+    yield from _detect_stream(model, variables, cfg, val_dataset, image_ids,
+                              eval_masks, forms, combine=lambda per: per[0],
+                              mesh=mesh)
+
+
+def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
+                              eval_masks, scales, mesh=None):
+    """Multi-scale inference that decodes each image ONCE.
+
+    Chunk-major: for every image chunk, all test scales are molded from the
+    same decoded arrays and dispatched back-to-back, then fused per image
+    with cross-scale per-class NMS (round 1 iterated scale-major and paid
+    one PNG decode per scale per image — VERDICT r1 weak #7)."""
+    ratio = cfg.DATA.IMAGE_MIN_DIM / cfg.DATA.IMAGE_MAX_DIM
+    forms = [(_make_eval_infer(model.clone(image_size=int(s)), eval_masks,
+                               mesh), int(round(s * ratio)), int(s))
+             for s in scales]
+
+    def combine(per_image):
+        return fuse_multiscale(per_image, cfg.TEST.DET_MAX_INSTANCES,
+                               cfg.TEST.MULTI_SCALE_NMS_THRESHOLD)
+
+    yield from _detect_stream(model, variables, cfg, val_dataset, image_ids,
+                              eval_masks, forms, combine=combine, mesh=mesh)
 
 
 def test_model(model, variables, cfg, val_dataset, coco_api,

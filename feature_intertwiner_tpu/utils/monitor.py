@@ -319,13 +319,17 @@ class _Handler(http.server.SimpleHTTPRequestHandler):
         pass
 
 
-def serve(folder: str, port: int = 8097) -> "http.server.ThreadingHTTPServer":
-    """Serve the run folder on a daemon thread; returns the server.
+def serve(folder: str, port: int = 8097,
+          host: str = "127.0.0.1") -> "http.server.ThreadingHTTPServer":
+    """Serve the run folder on a daemon thread; returns the server
+    (call ``server.shutdown()`` to stop it).
 
     Port default 8097 matches visdom's (the panel system this replaces).
-    Port 0 picks a free port — read it back from ``server.server_address``."""
+    Port 0 picks a free port — read it back from ``server.server_address``.
+    Binds loopback by default: the run folder holds checkpoints and config,
+    which should not be exposed to the network unasked."""
     handler = functools.partial(_Handler, directory=folder)
-    srv = http.server.ThreadingHTTPServer(("0.0.0.0", port), handler)
+    srv = http.server.ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv
@@ -333,11 +337,20 @@ def serve(folder: str, port: int = 8097) -> "http.server.ThreadingHTTPServer":
 
 def maybe_serve(cfg, folder: str) -> Optional["http.server.ThreadingHTTPServer"]:
     """Start the live monitor when CTRL.USE_VISDOM is set (config parity:
-    the reference's visdom switch + CTRL.VIS.PORT, lib/config.py:332-351)."""
+    the reference's visdom switch + CTRL.VIS.PORT, lib/config.py:332-351).
+
+    Never fatal: a taken port (another Trainer in this process, a parallel
+    run, a real visdom) degrades to the file-only dashboard with a note —
+    monitoring must not kill training."""
     if not getattr(cfg.CTRL, "USE_VISDOM", False):
         return None
     port = int(cfg.CTRL.VIS.PORT)
-    srv = serve(folder, port if port > 0 else 8097)
+    try:
+        srv = serve(folder, port if port > 0 else 8097)
+    except OSError as exc:
+        print(f"[monitor] port {port or 8097} unavailable ({exc}); "
+              f"open {os.path.join(folder, 'dashboard.html')} directly")
+        return None
     print(f"[monitor] live dashboard: "
           f"http://localhost:{srv.server_address[1]}/dashboard.html")
     return srv

@@ -43,6 +43,10 @@ def joint_affinities(features: np.ndarray, perplexity: float = 30.0,
     """Symmetrized joint P [N,N] with per-row beta matched to perplexity."""
     n = features.shape[0]
     d = _pairwise_sq_dists(features.astype(np.float64), metric)
+    # a row's entropy is at most log(n-1): an infeasible perplexity would
+    # drive every beta to 0 (uniform affinities, structureless embedding) —
+    # clamp like sklearn's effective perplexity does for small N
+    perplexity = min(perplexity, max((n - 1) / 3.0, 2.0))
     target = np.log(perplexity)
     P = np.zeros((n, n), np.float64)
     for i in range(n):

@@ -42,6 +42,8 @@ DATA_SEED = 0
 
 def ensure_dataset(root: str, train_n: int, val_n: int,
                    color_mode: str = "class"):
+    import glob
+
     from feature_intertwiner_tpu.data import synthetic
     marker = os.path.join(root, f"generated_t{train_n}_v{val_n}.ok")
     if os.path.exists(marker):
@@ -50,6 +52,10 @@ def ensure_dataset(root: str, train_n: int, val_n: int,
                             seed=DATA_SEED, color_mode=color_mode)
     synthetic.generate_rich(root, num_images=val_n, split="minival",
                             seed=DATA_SEED + 7777, color_mode=color_mode)
+    # regeneration overwrote the shared jsons: stale markers from other
+    # sizes would otherwise validate a dataset that no longer exists
+    for old in glob.glob(os.path.join(root, "generated_*.ok")):
+        os.remove(old)
     with open(marker, "w") as f:
         f.write("ok")
 

@@ -35,12 +35,13 @@ def main():
     folder = sys.argv[1]
     n_im = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     import re
-    m = re.match(r"(.+)_s(\d+)((?:_ft)?(?:_pc)?)$",
+    # folder layout: <variant>_s<seed>[_ft][_pc][_<free-form --tag>]
+    m = re.match(r"(.+?)_s(\d+)((?:_.+)?)$",
                  os.path.basename(folder.rstrip("/")))
     assert m, f"unrecognized run folder name: {folder}"
     variant, seed, tag = m.group(1), int(m.group(2)), m.group(3)
     cfg = build_cfg(variant, seed, [16, 4, 4], folder)
-    data_dir = "data_paired" if tag.endswith("_pc") else "data"
+    data_dir = "data_paired" if "pc" in tag.split("_") else "data"
     _, val, _ = get_data(cfg, data_root=os.path.join(ABLATION_DIR, data_dir))
     cfg.DATASET.NUM_CLASSES = val.num_classes
 

@@ -444,3 +444,23 @@ def test_trainer_resume_from_reference_pth(tmp_path):
     trainer.state, metrics = step(trainer.state, batch, jnp.float32(1e-3),
                                   jnp.float32(1.0), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+    # FORCE_START_EPOCH must override the payload's counters (weights-only
+    # init from a .pth whose payload carries a large epoch)
+    cfg.TRAIN.FORCE_START_EPOCH = 1
+    t2 = Trainer(model, cfg, v1).resume()
+    assert t2.epoch == 1 and t2.iter == 1
+    np.testing.assert_allclose(np.asarray(t2.state.buffer), buf)
+    cfg.TRAIN.FORCE_START_EPOCH = 0
+
+    # a payload missing buffer_cnt (partial re-save) degrades to a
+    # reinitialized buffer instead of raising KeyError
+    pth2 = str(tmp_path / "partial.pth")
+    torch.save({
+        "state_dict": {k: torch.from_numpy(np.asarray(vv))
+                       for k, vv in sd.items()},
+        "epoch": 1, "iter": 0, "buffer": buf, "loss_data": {},
+    }, pth2)
+    cfg.MODEL.INIT_FILE_CHOICE = pth2
+    t3 = Trainer(model, cfg, v1).resume()
+    assert float(np.abs(np.asarray(t3.state.buffer)).sum()) == 0.0

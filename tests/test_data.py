@@ -166,22 +166,30 @@ def test_loader_backpressure_bound():
     assert loader._peak_outstanding <= 5
 
 
+class _SpawnDs:
+    # module-level: spawn workers receive the dataset by pickle
+    def __len__(self):
+        return 24
+
+    def __getitem__(self, i):
+        return {"x": np.full((3, 2), i, np.float32),
+                "y": np.int32(i * 7)}
+
+
+class _SpawnBadDs(_SpawnDs):
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("corrupt sample")
+        return super().__getitem__(i)
+
+
 def test_process_loader_matches_thread_loader():
-    """worker_mode='process' (fork workers, torch-DataLoader equivalent)
+    """worker_mode='process' (spawned workers, torch-DataLoader equivalent)
     must deliver bit-identical batches in the same order as the thread
     path, propagate worker exceptions, and honor the prefetch bound."""
-
-    class Ds:
-        def __len__(self):
-            return 24
-
-        def __getitem__(self, i):
-            return {"x": np.full((3, 2), i, np.float32),
-                    "y": np.int32(i * 7)}
-
     kw = dict(batch_size=4, shuffle=True, seed=3, num_workers=2, prefetch=2)
-    thread = list(PrefetchLoader(Ds(), worker_mode="thread", **kw))
-    proc_loader = PrefetchLoader(Ds(), worker_mode="process", **kw)
+    thread = list(PrefetchLoader(_SpawnDs(), worker_mode="thread", **kw))
+    proc_loader = PrefetchLoader(_SpawnDs(), worker_mode="process", **kw)
     proc = list(proc_loader)
     assert len(proc) == len(thread) == 6
     for bt, bp in zip(thread, proc):
@@ -189,15 +197,25 @@ def test_process_loader_matches_thread_loader():
         np.testing.assert_array_equal(bt["y"], bp["y"])
     assert proc_loader._peak_outstanding <= 3
 
-    class Bad(Ds):
-        def __getitem__(self, i):
-            if i == 5:
-                raise ValueError("corrupt sample")
-            return super().__getitem__(i)
-
     with pytest.raises(RuntimeError, match="corrupt sample"):
-        for _ in PrefetchLoader(Bad(), worker_mode="process", **kw):
+        for _ in PrefetchLoader(_SpawnBadDs(), worker_mode="process", **kw):
             pass
+
+
+def test_real_dataset_loads_under_process_workers(coco_root):
+    """CocoDetectionDataset must survive the spawn pickle round-trip (the
+    real train path with DATA.LOADER_WORKER_MODE='process')."""
+    cfg = _small_cfg()
+    loader, _, _ = get_data(cfg, data_root=coco_root)
+    ds = loader.dataset
+    proc = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                          prefetch=2, worker_mode="process")
+    ref = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                         prefetch=2, worker_mode="thread")
+    for bp, bt in zip(proc, ref):
+        assert set(bp) == set(bt)
+        np.testing.assert_array_equal(bp["images"], bt["images"])
+        break  # one batch proves the pickle/spawn path
 
 
 def test_augmentation_varies_across_epochs(coco_root):

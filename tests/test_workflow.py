@@ -259,3 +259,8 @@ def test_prune_old_keeps_newest(tmp_path):
     kept = sorted(n for n in os.listdir(d) if ckpt.CKPT_RE.match(n))
     assert kept == ["ckpt_ep0002_iter000075", "ckpt_ep0010_iter000005"]
     assert ckpt.find_last(str(tmp_path)).endswith("ckpt_ep0010_iter000005")
+
+    # save_checkpoint prunes to keep-1 pre-write so KEEP_CHECKPOINTS=N
+    # holds exactly N checkpoints after each save — including N=1
+    ckpt._prune_to(str(tmp_path), 0)
+    assert [n for n in os.listdir(d) if ckpt.CKPT_RE.match(n)] == []
