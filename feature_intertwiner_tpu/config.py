@@ -117,7 +117,7 @@ def _default_tree() -> AttrDict:
         IMAGE_SHAPE=[],
         LOADER_WORKER_NUM=2,
         # 'thread' (cheap handoff; decode/resize parallelize via GIL release)
-        # or 'process' (torch-DataLoader-style fork workers — use on
+        # or 'process' (torch-DataLoader-style spawned workers — use on
         # multi-core hosts where threads can't feed the device)
         LOADER_WORKER_MODE="thread",
     )

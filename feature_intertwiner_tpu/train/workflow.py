@@ -57,7 +57,7 @@ class Trainer:
         self.metrics_logger = MetricsLogger(
             os.path.join(cfg.MISC.RESULT_FOLDER or ".", "metrics.jsonl"))
         # live dashboard (visdom-panel replacement): always write the static
-        # page next to metrics.jsonl; serve it when CTRL.USE_VISDOM is set
+        # page next to metrics.jsonl; serve it when MISC.USE_VISDOM is set
         if cfg.MISC.RESULT_FOLDER:
             from ..utils import monitor
             monitor.write_dashboard(cfg.MISC.RESULT_FOLDER, config=cfg)

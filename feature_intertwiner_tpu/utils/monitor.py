@@ -13,11 +13,11 @@ at-a-glance gap with zero dependencies:
   crosshair + tooltip, run status (epoch/iter/lr/staleness), the val-AP
   trajectory, and the config dump. Open it through any static file server.
 - :func:`serve` starts that server (stdlib ``http.server`` on a daemon
-  thread, no-cache headers) — wired to ``CTRL.USE_VISDOM`` /
-  ``CTRL.VIS.PORT`` for config parity with the reference's visdom switch.
+  thread, no-cache headers) — wired to ``MISC.USE_VISDOM`` /
+  ``MISC.VIS.PORT`` for config parity with the reference's visdom switch.
 
 The Trainer writes the dashboard at construction and starts the server when
-``CTRL.USE_VISDOM`` is set, so a long flagship run always has one URL (or
+``MISC.USE_VISDOM`` is set, so a long flagship run always has one URL (or
 file) that updates live.
 """
 
@@ -336,15 +336,15 @@ def serve(folder: str, port: int = 8097,
 
 
 def maybe_serve(cfg, folder: str) -> Optional["http.server.ThreadingHTTPServer"]:
-    """Start the live monitor when CTRL.USE_VISDOM is set (config parity:
-    the reference's visdom switch + CTRL.VIS.PORT, lib/config.py:332-351).
+    """Start the live monitor when MISC.USE_VISDOM is set (config parity:
+    the reference's visdom switch + CTRL.VIS ports, lib/config.py:332-351).
 
     Never fatal: a taken port (another Trainer in this process, a parallel
     run, a real visdom) degrades to the file-only dashboard with a note —
     monitoring must not kill training."""
-    if not getattr(cfg.CTRL, "USE_VISDOM", False):
+    if not cfg.MISC.get("USE_VISDOM", False):
         return None
-    port = int(cfg.CTRL.VIS.PORT)
+    port = int(cfg.MISC.VIS.PORT)
     try:
         srv = serve(folder, port if port > 0 else 8097)
     except OSError as exc:
