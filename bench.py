@@ -150,13 +150,18 @@ def main():
 
     from feature_intertwiner_tpu.models import InterNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    mode = os.environ.get("BENCH_MODE", "inference")
+    # measured HBM knees on the 16 GB v5e (README "Performance"): batch 32
+    # for inference, batch 8 for the full train step — one default would
+    # ResourceExhaust the other mode
+    batch = int(os.environ.get("BENCH_BATCH",
+                               "8" if mode == "train" else "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     size = int(os.environ.get("BENCH_IMAGE", "1024"))
     backbone = os.environ.get("BENCH_BACKBONE", "resnet50")
     dtype = dict(bfloat16=jnp.bfloat16, float32=jnp.float32)[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
-    if os.environ.get("BENCH_MODE", "inference") == "train":
+    if mode == "train":
         return bench_train(batch, iters, size, backbone, dtype)
 
     model = InterNet(

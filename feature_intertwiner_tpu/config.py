@@ -73,6 +73,12 @@ def _default_tree() -> AttrDict:
         BACKBONE="resnet101",
         BACKBONE_STRIDES=[],
         BACKBONE_SHAPES=[],
+        # reproduce the reference's truthy-mode-check training behavior
+        # (eval-BN + POST_NMS_ROIS_INFERENCE proposals in train,
+        # lib/model.py:265-277 — SURVEY §3.5 #1); False trains with the
+        # INTENDED semantics (POST_NMS_ROIS_TRAINING proposals). No
+        # reference counterpart — a TPU-port fidelity knob.
+        STRICT_QUIRKS=True,
     )
 
     cfg.DATASET = AttrDict(

@@ -95,7 +95,10 @@ def generate(root: str, num_images: int = 8, size: Tuple[int, int] = (240, 320),
                                  cy + (bh / 2 - 0.5) * np.sin(t)],
                                 1).reshape(-1).tolist()
             else:             # thin stripe
-                bh = max(12, bh // 3)
+                # clamp to the canvas: y0 was drawn against the ORIGINAL bh,
+                # so raising bh to the 12-row floor could push the recorded
+                # bbox/polygon past the bottom edge on small canvases
+                bh = min(max(12, bh // 3), h - y0)
                 canvas[y0:y0 + bh, x0:x0 + bw] = color
                 poly = [x0, y0, x0 + bw - 1, y0, x0 + bw - 1, y0 + bh - 1,
                         x0, y0 + bh - 1]

@@ -27,9 +27,15 @@ def _build_library() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            # compile to a private temp file and rename: two processes
+            # first-importing concurrently must not interleave writes into
+            # the same .so (rename is atomic within the directory; the
+            # loser's rename just replaces the winner's identical binary)
+            tmp = f"{_LIB_PATH}.build{os.getpid()}"
             subprocess.check_call(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _LIB_PATH])
+                 "-o", tmp])
+            os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
     except (OSError, subprocess.CalledProcessError):
         return None
@@ -220,7 +226,6 @@ class RLE:
 # ---------------------------------------------------------------------------
 def _counts_to_string(counts: np.ndarray) -> str:
     out = []
-    prev = 0
     for i, c in enumerate(counts.tolist()):
         x = int(c)
         if i > 2:
@@ -233,7 +238,6 @@ def _counts_to_string(counts: np.ndarray) -> str:
             if more:
                 cc |= 0x20
             out.append(chr(cc + 48))
-        prev = c
     return "".join(out)
 
 

@@ -26,16 +26,26 @@ Dtype = Any
 
 
 class BN(nn.Module):
-    """BatchNorm with reference hyperparameters."""
+    """BatchNorm with the reference's per-site hyperparameters.
+
+    Defaults match the backbone/classifier convention
+    (``nn.BatchNorm2d(..., eps=0.001, momentum=0.01)``,
+    sub_module.py:44-120,708-711; torch momentum m ≡ flax 1−m). The Dev
+    upsampler/critic and OT-module BNs are built with torch DEFAULTS
+    (eps=1e-5, momentum=0.1 → flax 0.9, sub_module.py:322,334-340,
+    OT_module.py:32-52) and the mask head mixes the two
+    (eps=0.001, default momentum, sub_module.py:757-763) — call sites pass
+    the overrides."""
 
     dtype: Dtype = jnp.float32
     epsilon: float = 1e-3
+    momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
         return nn.BatchNorm(
             use_running_average=not train_bn,
-            momentum=0.99,
+            momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
         )(x)

@@ -144,6 +144,7 @@ class InterNet(nn.Module):
             cls_merge_fac=cfg.DEV.CLS_MERGE_FAC,
             fpn_ot_loss=cfg.TRAIN.FPN_OT_LOSS,
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
+            strict_quirks=bool(cfg.MODEL.STRICT_QUIRKS),
             dtype=dtype,
         )
 
@@ -335,6 +336,20 @@ class InterNet(nn.Module):
         b = images.shape[0]
         maps, _, _, proposals, _ = self._features_and_proposals(
             images, train=False, train_bn=False)
+
+        if self.is_initializing():
+            # materialize every mode-gated param branch during init: the
+            # param tree must match a train checkpoint's regardless of which
+            # mode init() ran in, or restore key-mismatches
+            if self.ot_loss is not None:
+                # train-path hook's twin (meta-OT generator/critic)
+                dummy = jnp.zeros((2, 1024), jnp.float32)
+                self.meta_ot(dummy, dummy, jnp.zeros((2,), jnp.float32))
+            if with_features or not with_masks:
+                # visualize / bbox-only eval skip the mask branch at runtime
+                self.mask(jnp.zeros(
+                    (1, self.mask_pool_size, self.mask_pool_size,
+                     self.fpn_channels), self.dtype))
 
         # the mask pooling of this call is only consumed by the critic, and
         # the critic only when CLS_MERGE_FEAT mixes small features into the

@@ -80,7 +80,8 @@ class MaskHead(nn.Module):
     def __call__(self, x, train_bn: bool = False) -> jax.Array:
         for i in range(1, 5):
             x = conv(256, 3, name=f"conv{i}", dtype=self.dtype)(x)
-            x = BN(dtype=self.dtype, name=f"bn{i}")(x, train_bn)
+            # eps=0.001 but DEFAULT torch momentum (sub_module.py:757-763)
+            x = BN(dtype=self.dtype, momentum=0.9, name=f"bn{i}")(x, train_bn)
             x = nn.relu(x)
         x = deconv(256, 2, strides=2, name="upsample", dtype=self.dtype)(x)
         x = nn.relu(x)

@@ -90,7 +90,9 @@ class UpsampleBlock(nn.Module):
             )(x)
         else:
             raise ValueError(f"UPSAMPLE_FAC must be 1 or 2, got {self.factor}")
-        y = BN(dtype=self.dtype, name="bn")(y, train_bn)
+        # torch-default BN (sub_module.py:322 passes no eps/momentum)
+        y = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+               name="bn")(y, train_bn)
         return nn.relu(y)
 
 
@@ -105,13 +107,16 @@ class Critic(nn.Module):
         """pooled [N, fp, fp, C] -> [N, 1024] (pre-last_op)."""
         k = self.feat_pool_size // 2
         x = conv(512, 3, strides=2, name="conv1", dtype=self.dtype)(pooled)
-        x = BN(dtype=self.dtype, name="bn1")(x, train_bn)
+        x = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+               name="bn1")(x, train_bn)
         x = nn.relu(x)
         x = conv(1024, k, padding="VALID", name="conv2", dtype=self.dtype)(x)
-        x = BN(dtype=self.dtype, name="bn2")(x, train_bn)
+        x = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+               name="bn2")(x, train_bn)
         x = nn.relu(x)
         x = conv(1024, 1, padding="VALID", name="conv3", dtype=self.dtype)(x)
-        x = BN(dtype=self.dtype, name="bn3")(x, train_bn)
+        x = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+               name="bn3")(x, train_bn)
         x = nn.relu(x)
         return x.reshape(x.shape[0], 1024)
 
@@ -291,6 +296,14 @@ class Dev(nn.Module):
             meta_mask = meta_mask | (lvl == 6)
         small_out = jnp.where(meta_mask[:, None], small_act, 0.0)
         if not train_phase:
+            if self.big_supervise and self.is_initializing():
+                # materialize big_fc during inference-mode init too: the
+                # flax param tree must not depend on which mode init() was
+                # called with, or restoring a train checkpoint into an
+                # inference-initialized skeleton key-mismatches (the FPN OT
+                # branch handles init the same way)
+                dense(self.num_classes, name="big_fc",
+                      dtype=self.dtype)(small_raw[:1].astype(self.dtype))
             small_gt = meta_mask.astype(jnp.float32)
             return pooled_cls, pooled_mask, {
                 "small_out": small_out, "small_gt": small_gt}

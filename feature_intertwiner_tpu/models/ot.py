@@ -43,14 +43,17 @@ class OptTrans2D(nn.Module):
         ch = self.channels
         xh = deconv(ch, 3, strides=2 if self.upsample else 1, name="g_deconv",
                     dtype=self.dtype)(x)
-        xh = BN(dtype=self.dtype, name="g_bn")(xh, train_bn)
+        xh = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+                name="g_bn")(xh, train_bn)
         xh = nn.relu(xh)
 
         # shared critic modules applied to both sets (OT_module.py:95-98)
         c1 = conv(ch // 2, 3, strides=2, name="critic_conv1", dtype=self.dtype)
-        b1 = BN(dtype=self.dtype, name="critic_bn1")
+        b1 = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+                name="critic_bn1")
         c2 = conv(ch // 4, 3, strides=2, name="critic_conv2", dtype=self.dtype)
-        b2 = BN(dtype=self.dtype, name="critic_bn2")
+        b2 = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
+                name="critic_bn2")
 
         def critic(z):
             z = nn.relu(b1(c1(z), train_bn))

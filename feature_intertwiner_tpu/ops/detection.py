@@ -51,7 +51,6 @@ def detection_layer(
     """
     h, w = image_size
     scale = jnp.array([h, w, h, w], jnp.float32)
-    k = probs.shape[-1]
 
     def per_sample(roi, p, d, win):
         class_ids = jnp.argmax(p, axis=-1)                       # [R]

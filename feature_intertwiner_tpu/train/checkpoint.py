@@ -64,9 +64,18 @@ def prune_old(result_folder: str, keep: int):
 
 
 def _prune_to(result_folder: str, keep: int):
-    """Delete all but exactly ``keep`` newest committed checkpoints
+    """Delete all but the ``keep`` newest committed checkpoints
     (``keep=0`` deletes every one — internal; the public knob's 0 means
-    'never prune', see :func:`prune_old`)."""
+    'never prune', see :func:`prune_old`).
+
+    Recency for PRUNING is wall-clock (mtime, then epoch/iter as a
+    tiebreak), not (epoch, iter): a TRAIN.FORCE_START_EPOCH restart in a
+    folder holding higher-epoch checkpoints saves at LOWER epochs — an
+    (epoch, iter) sort would delete every new save as "oldest" while the
+    stale high-epoch dir survived forever. ``find_last`` keeps the
+    reference's by-epoch resume choice (_find_last name-sort,
+    utils.py:250-260); mtime pruning retires the stale dir after ``keep``
+    new saves, after which the two orders agree again."""
     d = checkpoint_dir(result_folder)
     if not os.path.isdir(d):
         return
@@ -74,7 +83,11 @@ def _prune_to(result_folder: str, keep: int):
     for name in os.listdir(d):
         m = CKPT_RE.match(name)
         if m:
-            found.append(((int(m.group(1)), int(m.group(2))), name))
+            try:
+                mtime = os.path.getmtime(os.path.join(d, name))
+            except OSError:
+                mtime = 0.0
+            found.append(((mtime, int(m.group(1)), int(m.group(2))), name))
     import shutil
     drop = sorted(found)[:max(len(found) - keep, 0)]
     for _, name in drop:
@@ -87,16 +100,19 @@ def save_checkpoint(result_folder: str, state: TrainState, epoch: int,
     taken; the disk write finishes on a background thread (used for the
     intra-epoch saves in the train loop). The returned path exists only
     once the write commits — find_last/restore_checkpoint wait for it.
-    ``keep > 0`` prunes all but the ``keep`` newest checkpoints first."""
+    ``keep > 0`` prunes to the ``keep`` newest committed checkpoints before
+    the write, so ``keep`` survivors always exist even if this save dies
+    mid-write (a keep-1 pre-prune would leave ZERO committed checkpoints in
+    that window for keep=1); between saves at most ``keep+1`` exist."""
     path = os.path.join(checkpoint_dir(result_folder),
                         f"ckpt_ep{epoch:04d}_iter{iter_ind:06d}")
     ckpt = _checkpointer()
     ckpt.wait_until_finished()  # at most one save in flight
     if keep > 0:
-        # prune to keep-1 BEFORE the write (the previous save has committed,
-        # so the directory is stable): after this save commits, exactly
-        # ``keep`` checkpoints exist — the documented steady state
-        _prune_to(result_folder, keep - 1)
+        # the previous save has committed (the wait above), so the
+        # directory is stable; CKPT_RE never matches orbax tmp dirs, so an
+        # interrupted write can't be counted as a survivor either
+        _prune_to(result_folder, keep)
     payload = serialization.to_state_dict(jax.device_get({
         "params": state.params,
         "batch_stats": state.batch_stats,

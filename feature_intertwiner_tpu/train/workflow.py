@@ -93,12 +93,6 @@ class Trainer:
             self.epoch, self.iter = epoch, it + 1
             print_log(f"resumed from {path} (ep {epoch}, iter {it})",
                       self.cfg.MISC.LOG_FILE)
-            if self.cfg.TRAIN.FORCE_START_EPOCH:
-                # a forced epoch starts from its beginning — keeping the
-                # restored mid-epoch iter would skip that epoch's head (or
-                # trip the end-of-epoch rollover and skip it entirely)
-                self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
-                self.iter = 1
         elif path:
             # pretrained weights, not a training checkpoint: overlay with
             # strict=False reporting (parity: utils.py:321-325,434-443 load
@@ -125,20 +119,16 @@ class Trainer:
                         buffer_cnt=jnp.asarray(np.asarray(cnt, np.float32)))
                     log(f"restored intertwiner buffer {np.shape(buf)}")
                 elif buf is not None and np.size(buf):
-                    log(f"buffer/cnt shape mismatch {np.shape(buf)} vs "
-                        f"{tuple(self.state.buffer.shape)}; reinitialized")
+                    log("payload buffer not restored: buffer "
+                        f"{np.shape(buf)} vs {tuple(self.state.buffer.shape)}"
+                        f", buffer_cnt {np.shape(cnt) if cnt is not None else None}"
+                        f" vs {tuple(self.state.buffer_cnt.shape)}; "
+                        "reinitialized")
                 if extras.get("epoch") is not None:
                     self.epoch = int(extras["epoch"])
                     self.iter = int(extras.get("iter", 0)) + 1
                     log(f"resumed counters from payload (ep {self.epoch}, "
                         f"iter {self.iter - 1})")
-                if self.cfg.TRAIN.FORCE_START_EPOCH:
-                    # same escape hatch as the orbax branch above: use the
-                    # payload as weights, restart the schedule where asked
-                    self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
-                    self.iter = 1
-                    log(f"FORCE_START_EPOCH={self.epoch}: payload counters "
-                        "overridden")
             elif path.endswith((".h5", ".hdf5")):
                 lp, ls = cw.convert_keras_h5(path, self.cfg.MODEL.BACKBONE)
             else:
@@ -150,11 +140,22 @@ class Trainer:
             self.state = self.state.replace(params=new_p, batch_stats=new_s)
             print_log(f"initialized from pretrained weights: {path}",
                       self.cfg.MISC.LOG_FILE)
+        if self.cfg.TRAIN.FORCE_START_EPOCH:
+            # applied for EVERY init source (checkpoint, .pth/.npz/.h5
+            # overlay, fresh start) like the reference's unconditional
+            # override (tools/utils.py:344-347). A forced epoch starts from
+            # its beginning — keeping a restored mid-epoch iter would skip
+            # that epoch's head (or trip the end-of-epoch rollover and skip
+            # it entirely).
+            self.epoch = self.cfg.TRAIN.FORCE_START_EPOCH
+            self.iter = 1
+            print_log(f"FORCE_START_EPOCH={self.epoch}: schedule restarted "
+                      "there", self.cfg.MISC.LOG_FILE)
         return self
 
 
 def train_model(trainer: Trainer, loader, layers: str,
-                val_loader=None, val_api=None, val_dataset=None):
+                val_api=None, val_dataset=None):
     """One stage; epochs covered = cumulative SCHEDULE up to this stage."""
     cfg = trainer.cfg
     stage_name = layers.upper()
@@ -561,7 +562,8 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
         tags += "_ms" + "-".join(str(int(s)) for s in cfg.TEST.MULTI_SCALE)
     cache = os.path.join(folder, f"det_result_ep{epoch:04d}{tags}.json")
 
-    if os.path.exists(cache):
+    from_cache = os.path.exists(cache)
+    if from_cache:
         print_log(f"loading cached detections: {cache}", log_file)
         with open(cache) as f:
             results = json.load(f)
@@ -584,8 +586,6 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
             if cfg.TEST.SAVE_IM:
                 # prediction image dumps (parity: workflow.py:425-431)
                 from ..utils.visualize import display_instances
-                if image is None:  # multi-scale path doesn't retain images
-                    image = val_dataset.load_image(int(img_idx))
                 display_instances(
                     image, boxes, class_ids,
                     getattr(val_dataset, "class_names", None),
@@ -624,10 +624,26 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
     ev.evaluate()
     ev.accumulate()
     stats = ev.summarize(log_file)
-    # feed the dashboard's val-AP panel (visdom mAP-panel parity)
-    MetricsLogger(os.path.join(folder, "metrics.jsonl")).log(
-        epoch=epoch, AP=stats[0], AP50=stats[1], AP75=stats[2],
-        AP_small=stats[3], AP_medium=stats[4], AP_large=stats[5])
+    # feed the dashboard's val-AP panel (visdom mAP-panel parity). Dedupe
+    # by epoch rather than by cache hit: a cache-hit re-eval recomputes the
+    # same stats (duplicate point), but the FIRST eval can die between the
+    # cache write and this log — the epoch's point must still land then.
+    mpath = os.path.join(folder, "metrics.jsonl")
+    have_epoch = False
+    if from_cache and os.path.exists(mpath):
+        with open(mpath) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if "AP" in r and r.get("epoch") == epoch:
+                    have_epoch = True
+                    break
+    if not have_epoch:
+        MetricsLogger(mpath).log(
+            epoch=epoch, AP=stats[0], AP50=stats[1], AP75=stats[2],
+            AP_small=stats[3], AP_medium=stats[4], AP_large=stats[5])
     if eval_masks:
         ev_m = COCOeval(coco_api, coco_dt, "segm")
         ev_m.params.img_ids = ev.params.img_ids

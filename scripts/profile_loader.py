@@ -7,9 +7,12 @@ must sustain N_chips × that on one host.
 NOTE: the dev container this was authored in exposes ONE CPU core (nproc=1),
 so worker scaling cannot be measured there — run this on the real TPU host
 (which has dozens of cores per chip) to size DATA.LOADER_WORKER_NUM and to
-pick DATA.LOADER_WORKER_MODE: MODE=process uses fork-based workers (the
-torch-DataLoader equivalent) whose whole __getitem__ parallelizes; threads
-only parallelize the GIL-releasing decode/resize portions.
+pick DATA.LOADER_WORKER_MODE: MODE=process uses spawned workers (the
+torch-DataLoader equivalent; spawn, not fork — fork under the live
+JAX/orbax/monitor threads can deadlock the child, see data/loader.py) whose
+whole __getitem__ parallelizes; threads only parallelize the GIL-releasing
+decode/resize portions. Spawn re-imports the module per worker, so startup
+cost is per-worker interpreter boot, not COW page sharing.
 Sweep: for M in thread process; do for W in 1 2 4 8 16 32; do
 MODE=$M W=$W python scripts/profile_loader.py; done; done
 """

@@ -451,6 +451,24 @@ def test_trainer_resume_from_reference_pth(tmp_path):
     t2 = Trainer(model, cfg, v1).resume()
     assert t2.epoch == 1 and t2.iter == 1
     np.testing.assert_allclose(np.asarray(t2.state.buffer), buf)
+
+    # ... and for every other init source (the reference applies it
+    # unconditionally, tools/utils.py:344-347): an .npz overlay carries no
+    # counters at all, and a fresh start has none to override
+    flat_p = {"params/" + "/".join(k): np.asarray(vv) for k, vv in
+              traverse_util.flatten_dict(v0["params"]).items()}
+    npz = str(tmp_path / "overlay.npz")
+    np.savez(npz, **flat_p)
+    cfg.MODEL.INIT_FILE_CHOICE = npz
+    cfg.TRAIN.FORCE_START_EPOCH = 3
+    t3 = Trainer(model, cfg, v1).resume()
+    assert t3.epoch == 3 and t3.iter == 1
+
+    cfg.MODEL.INIT_FILE_CHOICE = ""
+    t4 = Trainer(model, cfg, v1).resume()
+    assert t4.epoch == 3 and t4.iter == 1
+
+    cfg.MODEL.INIT_FILE_CHOICE = pth
     cfg.TRAIN.FORCE_START_EPOCH = 0
 
     # a payload missing buffer_cnt (partial re-save) degrades to a

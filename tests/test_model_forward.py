@@ -129,3 +129,35 @@ def test_train_forward_without_dev(model_and_params):
         rngs={"sampling": jax.random.PRNGKey(2)})
     assert "intertwiner" not in out
     assert np.isfinite(float(out["mrcnn_class_loss"]))
+
+
+def test_param_tree_independent_of_init_mode():
+    """The flax param tree must be identical whether init() ran in train,
+    inference, or visualize mode — otherwise restoring a train checkpoint
+    into an inference-initialized skeleton (diagnose_det.py, profile
+    scripts, __graft_entry__.entry) key-mismatches. Exercises every
+    train-only param branch at once: big_fc (DEV.BIG_SUPERVISE), the
+    Sinkhorn meta-OT generator/critic (LOSS_CHOICE='ot'), and the FPN
+    inter-level OT modules (TRAIN.FPN_OT_LOSS)."""
+    model = tiny_model(dev_loss_choice="ot", dev_big_supervise=True,
+                       fpn_ot_loss=True)
+    rng = np.random.RandomState(3)
+    images, gt_cls, gt_boxes, gt_masks, windows = _synthetic_batch(rng)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1)}
+    # eval_shape avoids compiling three full forwards; the param STRUCTURE
+    # (names + shapes) is what restore/serialization keys off
+    tree_train = jax.eval_shape(
+        lambda: model.init(rngs, images, mode="train", gt_class_ids=gt_cls,
+                           gt_boxes=gt_boxes, gt_masks=gt_masks))
+    tree_inf = jax.eval_shape(
+        lambda: model.init(rngs, images, mode="inference", windows=windows))
+    tree_vis = jax.eval_shape(
+        lambda: model.init(rngs, images, mode="visualize", windows=windows))
+
+    def shapes(tree):
+        return jax.tree_util.tree_map(lambda x: tuple(x.shape),
+                                      tree["params"])
+
+    assert shapes(tree_inf) == shapes(tree_train)
+    assert shapes(tree_vis) == shapes(tree_train)

@@ -2,6 +2,7 @@
 synthetic COCO data → Trainer(train_epoch) → checkpoint → test_model(COCOeval).
 """
 
+import json
 import os
 
 import jax
@@ -90,8 +91,16 @@ def test_train_epoch_and_eval_roundtrip(env):
     caches = glob.glob(
         os.path.join(cfg.MISC.RESULT_FOLDER, "det_result_ep0001_n*.json"))
     assert caches, "expected a det-result cache keyed by epoch+image count"
+    def _val_ap_records():
+        mpath = os.path.join(cfg.MISC.RESULT_FOLDER, "metrics.jsonl")
+        with open(mpath) as f:
+            return [r for r in map(json.loads, f) if "AP" in r]
+
+    n_ap = len(_val_ap_records())
     stats2 = run_eval(model, eval_vars, cfg, val, val_api, epoch=1)
     np.testing.assert_allclose(stats, stats2)
+    # a cache-hit re-eval must not duplicate the dashboard's val-AP point
+    assert len(_val_ap_records()) == n_ap
     # a different image count must NOT reuse the cache (it would silently
     # zero the uncached images); the limited run writes its own file
     run_eval(model, eval_vars, cfg, val, val_api, epoch=1, limit=1)
@@ -260,7 +269,22 @@ def test_prune_old_keeps_newest(tmp_path):
     assert kept == ["ckpt_ep0002_iter000075", "ckpt_ep0010_iter000005"]
     assert ckpt.find_last(str(tmp_path)).endswith("ckpt_ep0010_iter000005")
 
-    # save_checkpoint prunes to keep-1 pre-write so KEEP_CHECKPOINTS=N
-    # holds exactly N checkpoints after each save — including N=1
+    # save_checkpoint prunes to keep (NOT keep-1) pre-write: a crash
+    # mid-write must always leave `keep` committed checkpoints on disk —
+    # with keep=1 a pre-write prune-to-0 would leave none
+    ckpt._prune_to(str(tmp_path), 1)
+    assert [n for n in os.listdir(d) if ckpt.CKPT_RE.match(n)] == \
+        ["ckpt_ep0010_iter000005"]
     ckpt._prune_to(str(tmp_path), 0)
     assert [n for n in os.listdir(d) if ckpt.CKPT_RE.match(n)] == []
+
+    # FORCE_START_EPOCH restart: a stale HIGH-epoch dir from a prior run
+    # must be pruned as oldest (recency = mtime), not protected by its
+    # epoch number while every new low-epoch save gets deleted
+    (d / "ckpt_ep0020_iter000075").mkdir()
+    os.utime(d / "ckpt_ep0020_iter000075", (1_000_000, 1_000_000))
+    for n in ["ckpt_ep0001_iter000075", "ckpt_ep0002_iter000075"]:
+        (d / n).mkdir()
+    ckpt._prune_to(str(tmp_path), 2)
+    kept = sorted(n for n in os.listdir(d) if ckpt.CKPT_RE.match(n))
+    assert kept == ["ckpt_ep0001_iter000075", "ckpt_ep0002_iter000075"]
