@@ -92,6 +92,11 @@ def bench_train(batch, iters, size, backbone, dtype):
     cfg.DEV.UPSAMPLE_FAC = 1.0
     cfg.TRAIN.BATCH_SIZE = batch
     cfg.MODEL.BACKBONE = backbone
+    # from_config sizes anchors/clip windows off DATA.IMAGE_MAX_DIM — it
+    # must match the synthetic batch below or BENCH_IMAGE != 1024 trips a
+    # [B, anchors] vs [B, positions] shape mismatch in the RPN loss
+    cfg.DATA.IMAGE_MIN_DIM = size
+    cfg.DATA.IMAGE_MAX_DIM = size
     cfg.finalize()
     model = InterNet.from_config(cfg, dtype=dtype)
 
@@ -187,9 +192,7 @@ def main():
         return model.apply(v, im, mode="inference", windows=win)
 
     compiled = jax.jit(infer_fn).lower(variables, images, windows).compile()
-
-    def infer(v, im, win):
-        return compiled(v, im, win)
+    infer = compiled
 
     def sync(o):
         # A real device->host transfer is the only reliable sync under the

@@ -213,28 +213,35 @@ def detection_targets(
         deltas = deltas / jnp.asarray(bbox_std_dev, deltas.dtype)
         deltas = jnp.where(sel_pos[:, None], deltas, 0.0)
 
-        # mask targets: crop each positive RoI out of its GT mask
+        # mask targets: crop each positive RoI out of its GT mask. Positives
+        # live statically in slots [0, pos_cap) (the concatenation above),
+        # so only that slice is cropped — negative/pad rows would be zeroed
+        # anyway and cropping them is ~2/3 of the interpolation work wasted
+        p_rois = rois[:pos_cap]
         if use_mini_mask:
             # RoI coords -> normalized mini-mask frame (layers.py:301-312)
-            gy1, gx1, gy2, gx2 = [matched_boxes[:, i] for i in range(4)]
+            p_matched = matched_boxes[:pos_cap]
+            gy1, gx1, gy2, gx2 = [p_matched[:, i] for i in range(4)]
             gh = jnp.maximum(gy2 - gy1, 1e-8)
             gw = jnp.maximum(gx2 - gx1, 1e-8)
             mb = jnp.stack(
                 [
-                    (rois[:, 0] - gy1) / gh,
-                    (rois[:, 1] - gx1) / gw,
-                    (rois[:, 2] - gy1) / gh,
-                    (rois[:, 3] - gx1) / gw,
+                    (p_rois[:, 0] - gy1) / gh,
+                    (p_rois[:, 1] - gx1) / gw,
+                    (p_rois[:, 2] - gy1) / gh,
+                    (p_rois[:, 3] - gx1) / gw,
                 ],
                 axis=1,
             )
         else:
-            mb = rois
-        roi_masks = masks[roi_gt][..., None]                 # [R, mh, mw, 1]
+            mb = p_rois
+        roi_masks = masks[roi_gt[:pos_cap]][..., None]       # [P, mh, mw, 1]
         # separable two-matmul crop: C=1 sources are pathological for the
         # gather engine (4-byte rows), ~40x faster as MXU matmuls
         crops = crop_and_resize_separable(roi_masks, mb, mask_shape)[..., 0]
-        target_masks = jnp.round(crops) * sel_pos[:, None, None]
+        crops = jnp.round(crops) * sel_pos[:pos_cap, None, None]
+        target_masks = jnp.concatenate(
+            [crops, jnp.zeros((neg_cap,) + tuple(mask_shape), crops.dtype)])
 
         return rois, roi_cls, deltas, target_masks, sel_pos, sel_valid
 

@@ -345,10 +345,11 @@ def maybe_serve(cfg, folder: str) -> Optional["http.server.ThreadingHTTPServer"]
     if not cfg.MISC.get("USE_VISDOM", False):
         return None
     port = int(cfg.MISC.VIS.PORT)
+    port = port if port > 0 else 8097
     try:
-        srv = serve(folder, port if port > 0 else 8097)
+        srv = serve(folder, port)
     except OSError as exc:
-        print(f"[monitor] port {port or 8097} unavailable ({exc}); "
+        print(f"[monitor] port {port} unavailable ({exc}); "
               f"open {os.path.join(folder, 'dashboard.html')} directly")
         return None
     print(f"[monitor] live dashboard: "
