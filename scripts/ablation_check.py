@@ -244,6 +244,9 @@ def main():
                          "new regime (e.g. a longer schedule) does not "
                          "overwrite existing records")
     ap.add_argument("--table-only", action="store_true")
+    ap.add_argument("--in-process", action="store_true",
+                    help="run all arms in this process (debug; leaks ~15 GB "
+                         "host RSS per arm — the default forks per arm)")
     args = ap.parse_args()
 
     os.makedirs(ABLATION_DIR, exist_ok=True)
@@ -262,10 +265,36 @@ def main():
     ensure_dataset(data_root, args.train_n, args.val_n,
                    color_mode=args.color_mode)
 
-    for seed in [int(s) for s in args.seeds.split(",")]:
-        for variant in args.variants.split(","):
+    arms = [(s, v) for s in [int(x) for x in args.seeds.split(",")]
+            for v in args.variants.split(",")]
+    if len(arms) == 1 or args.in_process:
+        for seed, variant in arms:
             run_variant(variant, seed, schedule, data_root,
                         init_npz=args.init_npz, lr=args.lr, run_tag=run_tag)
+    else:
+        # one fresh interpreter per arm: a multi-arm sweep in one process
+        # accumulates ~15 GB of host RSS per arm (jit executables + live
+        # arrays never fully return to the OS) and a 9-arm run gets
+        # OOM-killed around arm 7 on a 128 GB host. The XLA compile cache
+        # (jax_compilation_cache_dir above) keeps recompiles cheap across
+        # processes. Arms run sequentially — one TPU process at a time.
+        import subprocess
+        for seed, variant in arms:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--variants", variant, "--seeds", str(seed),
+                   "--schedule", args.schedule,
+                   "--train-n", str(args.train_n), "--val-n", str(args.val_n),
+                   "--color-mode", args.color_mode]
+            if args.init_npz:
+                cmd += ["--init-npz", args.init_npz]
+            if args.lr is not None:
+                cmd += ["--lr", str(args.lr)]
+            if args.tag:
+                cmd += ["--tag", args.tag]
+            rc = subprocess.call(cmd)
+            if rc != 0:
+                print(f"[ablation] arm {variant} s{seed} exited {rc}; "
+                      "continuing with remaining arms", flush=True)
 
     with open(results_file) as f:
         print_table(json.load(f))

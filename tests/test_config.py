@@ -107,3 +107,18 @@ def test_compute_dtype_validation_rejects_empty():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         build_config(opts=["TPU.COMPUTE_DTYPE", "''"])
+
+
+def test_strict_quirks_reaches_the_model():
+    """MODEL.STRICT_QUIRKS (config-surface knob for the reference's
+    truthy-mode-check training behavior, SURVEY §3.5 #1) must plumb
+    through from_config — it used to be constructor-only."""
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.models import InterNet
+
+    cfg = build_config(opts=["MODEL.STRICT_QUIRKS", "False"])
+    cfg.finalize()
+    assert InterNet.from_config(cfg).strict_quirks is False
+    cfg2 = build_config()
+    cfg2.finalize()
+    assert InterNet.from_config(cfg2).strict_quirks is True
