@@ -198,28 +198,37 @@ def print_table(results):
     by = {(r["variant"], r["seed"]): r for r in results}
     for suffix in sorted({regime(v) for v, _ in by}):
         variants = sorted({v for v, _ in by if regime(v) == suffix},
-                          key=lambda v: not v.startswith("baseline"))
+                          key=lambda v: (not v.startswith("baseline"), v))
         if not variants:
             continue
         seeds = sorted({s for v, s in by if regime(v) == suffix})
         label = labels.get(suffix, suffix.strip("_"))
         print(f"\n=== Held-out ablation [{label}] "
               f"(mean over seeds {seeds}) ===")
-        base = None
+        base_by_seed = {}
         for v in variants:
             rows = [by[(v, s)] for s in seeds if (v, s) in by]
             if not rows:
                 continue
             mean = {c: float(np.mean([r[c] for r in rows])) for c in cols}
             if v.startswith("baseline"):
-                base = mean
+                base_by_seed = {r["seed"]: r for r in rows}
             line = (f"{v:12s} n={len(rows)} "
                     + " ".join(f"{c}={mean[c]:.3f}" for c in cols))
-            if base is not None and not v.startswith("baseline"):
-                line += ("   Δvs-base: "
-                         + " ".join(f"{c}={mean[c]-base[c]:+.3f}"
-                                    for c in ("AP", "AP_small")))
             print(line)
+            if base_by_seed and not v.startswith("baseline"):
+                # Paired per-seed deltas (same data + seed, arm is the only
+                # difference) are the statistically meaningful comparison.
+                paired = [r for r in rows if r["seed"] in base_by_seed]
+                parts = []
+                for c in ("AP", "AP_small", "AP_medium"):
+                    d = np.array([r[c] - base_by_seed[r["seed"]][c]
+                                  for r in paired])
+                    parts.append(f"{c}={d.mean():+.3f}±{d.std(ddof=1):.3f}"
+                                 f"({(d > 0).sum()}/{d.size}+)"
+                                 if d.size > 1 else f"{c}={d.mean():+.3f}")
+                print(f"{'':12s} paired Δvs-base (mean±sd, seeds positive): "
+                      + " ".join(parts))
 
 
 def main():
