@@ -225,6 +225,7 @@ def print_table(results):
                     d = np.array([r[c] - base_by_seed[r["seed"]][c]
                                   for r in paired])
                     parts.append(f"{c}={d.mean():+.3f}±{d.std(ddof=1):.3f}"
+                                 f"/med{np.median(d):+.3f}"
                                  f"({(d > 0).sum()}/{d.size}+)"
                                  if d.size > 1 else f"{c}={d.mean():+.3f}")
                 print(f"{'':12s} paired Δvs-base (mean±sd, seeds positive): "
