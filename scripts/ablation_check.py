@@ -220,7 +220,7 @@ def print_table(results):
                 # Paired per-seed deltas (same data + seed, arm is the only
                 # difference) are the statistically meaningful comparison.
                 paired = [r for r in rows if r["seed"] in base_by_seed]
-                parts = []
+                parts, ci_parts = [], []
                 for c in ("AP", "AP_small", "AP_medium"):
                     d = np.array([r[c] - base_by_seed[r["seed"]][c]
                                   for r in paired])
@@ -228,8 +228,40 @@ def print_table(results):
                                  f"/med{np.median(d):+.3f}"
                                  f"({(d > 0).sum()}/{d.size}+)"
                                  if d.size > 1 else f"{c}={d.mean():+.3f}")
+                    if d.size > 2:
+                        lo, hi, p = _paired_bootstrap(d)
+                        ci_parts.append(
+                            f"{c}=[{lo:+.3f},{hi:+.3f}] p≈{p:.2f}")
                 print(f"{'':12s} paired Δvs-base (mean±sd, seeds positive): "
                       + " ".join(parts))
+                if ci_parts:
+                    print(f"{'':12s} bootstrap 95% CI of mean Δ "
+                          "(10k resamples; p = 2-sided sign-flip test): "
+                          + " ".join(ci_parts))
+
+
+def _paired_bootstrap(d, n_boot=10000, seed=0):
+    """95% percentile bootstrap CI of the mean paired delta, plus a
+    two-sided sign-flip permutation p-value for mean Δ = 0.
+
+    The round-2 roadmap item (README "Roadmap"): at n=4 the paired ΔAP CI
+    was wider than the expected effect; with ≥10 seeds this resolves
+    whether the meta-loss effect is distinguishable from seed noise."""
+    rng = np.random.RandomState(seed)
+    n = d.size
+    boots = d[rng.randint(0, n, size=(n_boot, n))].mean(axis=1)
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    # sign-flip permutation: under H0 (no arm effect) each paired delta's
+    # sign is exchangeable; exact for tiny n via full enumeration
+    obs = abs(d.mean())
+    if n <= 16:
+        signs = np.array(
+            [[1 if (m >> i) & 1 else -1 for i in range(n)]
+             for m in range(2 ** n)])
+    else:
+        signs = rng.choice([-1, 1], size=(n_boot, n))
+    p = float(np.mean(np.abs((signs * d).mean(axis=1)) >= obs - 1e-12))
+    return float(lo), float(hi), p
 
 
 def main():
