@@ -9,11 +9,22 @@ reference-class throughput (Mask-R-CNN-family R50-FPN @1024² on the
 setup.sh-era GPU), so vs_baseline = value / 2.5.
 
 Knobs (env): BENCH_BATCH (default 32), BENCH_ITERS (default 8),
-BENCH_IMAGE (default 1024), BENCH_BACKBONE (default resnet50),
-BENCH_DTYPE (default bfloat16), BENCH_MODE (inference|train).
+BENCH_REPEATS (default 5), BENCH_IMAGE (default 1024),
+BENCH_BACKBONE (default resnet50), BENCH_DTYPE (default bfloat16),
+BENCH_MODE (inference|train).
 Train mode measures the full SPMD-ready train step (fwd+bwd+intertwiner
 buffer/meta+optimizer); its baseline is the reference's ~2 img/s/GPU
 training throughput.
+
+Fluke-proofing (round-2 verdict #1): the round-2 official capture recorded
+12.07 img/s for the *identical compiled program* that re-measures at
+~95 img/s — a contended chip during the one timed window became the round's
+number. Now every capture (a) runs BENCH_REPEATS independent timed windows
+and reports the median (official value) plus best and the per-repeat list,
+and (b) sanity-checks wall-clock against the program's own HBM-bandwidth
+floor (bytes-accessed / peak-BW): a median step slower than 3x that floor
+sets "degraded_environment": true in the JSON so a contended-chip sample
+can never again masquerade as a regression.
 """
 
 import json
@@ -36,6 +47,47 @@ _CHIP_PEAKS = {
     "TPU v6 lite": (918e12, 1640e9),
     "TPU v6e": (918e12, 1640e9),
 }
+
+
+def timing_stats(repeat_secs, images_per_window):
+    """Median/best throughput over independent timed windows.
+
+    The median is the official number (robust to a single contended-chip
+    window); best and the raw per-repeat list are reported alongside so a
+    degraded environment is visible in the artifact itself."""
+    med = float(np.median(repeat_secs))
+    best = float(min(repeat_secs))
+    return {
+        "median_sec": med,
+        "value": round(images_per_window / med, 3),
+        "best_images_per_sec": round(images_per_window / best, 3),
+        "repeat_sec": [round(s, 3) for s in repeat_secs],
+    }
+
+
+def degraded_check(util, seconds_per_step):
+    """Flag wall-clock that the program's own HBM traffic cannot explain.
+
+    The compiled program moves `hbm_gb_per_step` bytes; at peak bandwidth
+    that sets a hard floor on step time. A median step >3x the floor means
+    the chip (not the program) was slow — BENCH_r02's 2.65 s/step vs its
+    0.234 s floor would have tripped this."""
+    byts = util.get("hbm_gb_per_step")
+    if byts is None or util.get("mfu_pct") is None:
+        return {}
+    import jax
+    kind = jax.devices()[0].device_kind
+    if kind not in _CHIP_PEAKS:
+        return {}
+    floor = byts * 1e9 / _CHIP_PEAKS[kind][1]
+    out = {"hbm_floor_sec_per_step": round(floor, 4)}
+    if seconds_per_step > 3.0 * floor:
+        out["degraded_environment"] = True
+        out["degraded_reason"] = (
+            f"median step {seconds_per_step:.3f}s exceeds 3x the program's "
+            f"HBM-bandwidth floor {floor:.3f}s — contended/slow chip, not a "
+            "program regression")
+    return out
 
 
 def chip_utilization(compiled, seconds_per_call):
@@ -132,20 +184,31 @@ def bench_train(batch, iters, size, backbone, dtype):
     state, metrics = step(state, data, jnp.float32(1e-3), jnp.float32(1.0),
                           jax.random.PRNGKey(2))
     float(metrics["total_loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, data, jnp.float32(1e-3),
-                              jnp.float32(1.0), jax.random.PRNGKey(3 + i))
-        float(metrics["total_loss"])  # forced transfer = sync
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    key = 3
+    repeat_secs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, data, jnp.float32(1e-3),
+                                  jnp.float32(1.0), jax.random.PRNGKey(key))
+            key += 1
+            float(metrics["total_loss"])  # forced transfer = sync
+        repeat_secs.append(time.perf_counter() - t0)
+    stats = timing_stats(repeat_secs, batch * iters)
     rec = {
         "metric": f"train_step_images_per_sec_per_chip_{backbone}_{size}",
-        "value": round(ips, 3),
+        "value": stats["value"],
         "unit": "images/sec",
-        "vs_baseline": round(ips / REFERENCE_TRAIN_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(stats["value"] / REFERENCE_TRAIN_IMAGES_PER_SEC,
+                             3),
+        "best_images_per_sec": stats["best_images_per_sec"],
+        "repeat_sec": stats["repeat_sec"],
     }
-    rec.update(chip_utilization(compiled, dt / iters))
+    sec_per_step = stats["median_sec"] / iters
+    util = chip_utilization(compiled, sec_per_step)
+    rec.update(util)
+    rec.update(degraded_check(util, sec_per_step))
     print(json.dumps(rec))
 
 
@@ -206,23 +269,31 @@ def main():
     # Pipelined throughput: keep one batch in flight (dispatch i+1 before
     # syncing i), exactly like the eval loop (train/workflow.py) — hides the
     # per-dispatch runtime latency that serving would also hide.
-    t0 = time.perf_counter()
-    pending = infer(variables, images, windows)
-    for _ in range(iters - 1):
-        nxt = infer(variables, images, windows)
+    def timed_window():
+        t0 = time.perf_counter()
+        pending = infer(variables, images, windows)
+        for _ in range(iters - 1):
+            nxt = infer(variables, images, windows)
+            sync(pending)
+            pending = nxt
         sync(pending)
-        pending = nxt
-    sync(pending)
-    dt = time.perf_counter() - t0
+        return time.perf_counter() - t0
 
-    ips = batch * iters / dt
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    repeat_secs = [timed_window() for _ in range(repeats)]
+    stats = timing_stats(repeat_secs, batch * iters)
     rec = {
         "metric": f"coco_val_inference_images_per_sec_per_chip_{backbone}_{size}",
-        "value": round(ips, 3),
+        "value": stats["value"],
         "unit": "images/sec",
-        "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(stats["value"] / REFERENCE_IMAGES_PER_SEC, 3),
+        "best_images_per_sec": stats["best_images_per_sec"],
+        "repeat_sec": stats["repeat_sec"],
     }
-    rec.update(chip_utilization(compiled, dt / iters))
+    sec_per_step = stats["median_sec"] / iters
+    util = chip_utilization(compiled, sec_per_step)
+    rec.update(util)
+    rec.update(degraded_check(util, sec_per_step))
     print(json.dumps(rec))
 
 

@@ -179,6 +179,12 @@ def _default_tree() -> AttrDict:
         # new (no reference equivalent): keep only the N newest checkpoints
         # on disk; 0 = keep all (the reference's behavior)
         KEEP_CHECKPOINTS=0,
+        # new: raise instead of silently reinitializing the intertwiner
+        # buffer when a restored payload's buffer shape mismatches the
+        # model's (the reference silently falls back to initialize_buffer,
+        # tools/utils.py:374-389 — a flagship meta-loss resume that drops
+        # the historic buffer would corrupt the run undetected)
+        STRICT_RESUME=False,
         FORCE_START_EPOCH=0,
         FPN_OT_LOSS=False,
         FPN_OT_LOSS_FAC=1.0,

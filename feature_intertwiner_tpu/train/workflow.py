@@ -119,11 +119,18 @@ class Trainer:
                         buffer_cnt=jnp.asarray(np.asarray(cnt, np.float32)))
                     log(f"restored intertwiner buffer {np.shape(buf)}")
                 elif buf is not None and np.size(buf):
-                    log("payload buffer not restored: buffer "
-                        f"{np.shape(buf)} vs {tuple(self.state.buffer.shape)}"
-                        f", buffer_cnt {np.shape(cnt) if cnt is not None else None}"
-                        f" vs {tuple(self.state.buffer_cnt.shape)}; "
-                        "reinitialized")
+                    msg = ("payload buffer not restored: buffer "
+                           f"{np.shape(buf)} vs "
+                           f"{tuple(self.state.buffer.shape)}, buffer_cnt "
+                           f"{np.shape(cnt) if cnt is not None else None}"
+                           f" vs {tuple(self.state.buffer_cnt.shape)}")
+                    if self.cfg.TRAIN.get("STRICT_RESUME", False):
+                        raise ValueError(
+                            msg + " — TRAIN.STRICT_RESUME forbids silently "
+                            "reinitializing the intertwiner buffer (set it "
+                            "False to accept the reference's fallback, "
+                            "tools/utils.py:374-389)")
+                    log(msg + "; reinitialized")
                 if extras.get("epoch") is not None:
                     self.epoch = int(extras["epoch"])
                     self.iter = int(extras.get("iter", 0)) + 1

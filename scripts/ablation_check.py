@@ -177,6 +177,7 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
     all_results.append(record)
     with open(results_file, "w") as f:
         json.dump(all_results, f, indent=1)
+        f.write("\n")
     print(f"[{variant} s{seed}] AP {record['AP']:.3f} "
           f"AP50 {record['AP50']:.3f} APs {record['AP_small']:.3f} "
           f"APm {record['AP_medium']:.3f} APl {record['AP_large']:.3f} "

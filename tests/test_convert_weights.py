@@ -482,3 +482,68 @@ def test_trainer_resume_from_reference_pth(tmp_path):
     cfg.MODEL.INIT_FILE_CHOICE = pth2
     t3 = Trainer(model, cfg, v1).resume()
     assert float(np.abs(np.asarray(t3.state.buffer)).sum()) == 0.0
+
+
+@pytest.mark.slow
+def test_strict_resume_buffer_mismatch_raises(tmp_path):
+    """TRAIN.STRICT_RESUME turns the silent buffer-reinit fallback
+    (reference: tools/utils.py:374-389) into a hard failure — a flagship
+    meta-loss resume must not drop its historic buffer undetected."""
+    import os
+    import sys
+
+    import jax
+    import torch
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model_forward import _synthetic_batch
+
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.models import InterNet
+    from feature_intertwiner_tpu.train.workflow import Trainer
+
+    cfg = build_config()
+    cfg.DATASET.NUM_CLASSES = 8
+    cfg.MODEL.BACKBONE = "resnet50"
+    cfg.DATA.IMAGE_MIN_DIM = 96
+    cfg.DATA.IMAGE_MAX_DIM = 128
+    cfg.RPN.ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    cfg.RPN.PRE_NMS_LIMIT = 200
+    cfg.RPN.POST_NMS_ROIS_TRAINING = 64
+    cfg.RPN.POST_NMS_ROIS_INFERENCE = 48
+    cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 24
+    cfg.TRAIN.BATCH_SIZE = 1
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.BUFFER_SIZE = 1
+    cfg.DEV.UPSAMPLE_FAC = 1.0
+    cfg.finalize()
+    cfg.MISC.RESULT_FOLDER = str(tmp_path / "run")
+
+    model = InterNet.from_config(cfg)
+    rng = np.random.RandomState(1)
+    images, gt_cls, gt_boxes, gt_masks, _ = _synthetic_batch(rng)
+    v = model.init({"params": jax.random.PRNGKey(7),
+                    "sampling": jax.random.PRNGKey(8)}, images, mode="train",
+                   gt_class_ids=gt_cls, gt_boxes=gt_boxes, gt_masks=gt_masks)
+
+    sd = _to_reference_sd(v["params"], v.get("batch_stats", {}))
+    # payload buffer from a BUFFER_SIZE=4 run vs the model's BUFFER_SIZE=1
+    bad_buf = np.random.RandomState(2).rand(4, 1024, 8).astype(np.float32)
+    pth = str(tmp_path / "mismatch.pth")
+    torch.save({
+        "state_dict": {k: torch.from_numpy(np.asarray(vv))
+                       for k, vv in sd.items()},
+        "epoch": 1, "iter": 0, "buffer": bad_buf,
+        "buffer_cnt": np.ones((4, 1, 8), np.float32), "loss_data": {},
+    }, pth)
+    cfg.MODEL.INIT_FILE_CHOICE = pth
+
+    cfg.TRAIN.STRICT_RESUME = True
+    with pytest.raises(ValueError, match="STRICT_RESUME"):
+        Trainer(model, cfg, v).resume()
+
+    # default behavior unchanged: log + reinitialize (parity fallback)
+    cfg.TRAIN.STRICT_RESUME = False
+    t = Trainer(model, cfg, v).resume()
+    assert float(np.abs(np.asarray(t.state.buffer)).sum()) == 0.0
