@@ -197,6 +197,12 @@ def _default_tree() -> AttrDict:
         EFFECT_AFER_EP_PERCENT=0.0,
         MULTI_UPSAMPLER=False,
         UPSAMPLE_FAC=2.0,
+        # warm-graft mitigation (extensions; 'xavier'/False = reference):
+        # 'identity' = delta-conv / bilinear-deconv make-up kernels;
+        # UPSAMPLE_RESIDUAL = zero-init gated residual around the block
+        # (exact identity at graft time) — see models/intertwiner.py
+        UPSAMPLE_INIT="xavier",
+        UPSAMPLE_RESIDUAL=False,
         LOSS_CHOICE="l1",          # 'l1' | 'l2' | 'kl' | 'ot'
         OT_ONE_DIM_FORM="conv",    # 'conv' | 'fc'   (when LOSS_CHOICE == 'ot')
         LOSS_FAC=0.5,

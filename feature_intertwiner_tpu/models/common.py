@@ -52,7 +52,8 @@ class BN(nn.Module):
 
 
 def conv(features: int, kernel, strides=1, padding="SAME", name=None,
-         dtype: Dtype = jnp.float32, use_bias: bool = True) -> nn.Conv:
+         dtype: Dtype = jnp.float32, use_bias: bool = True,
+         kernel_init=None) -> nn.Conv:
     """Conv with Xavier-uniform init (parity: lib/model.py:86-94)."""
     return nn.Conv(
         features,
@@ -62,7 +63,7 @@ def conv(features: int, kernel, strides=1, padding="SAME", name=None,
         name=name,
         dtype=dtype,
         use_bias=use_bias,
-        kernel_init=nn.initializers.xavier_uniform(),
+        kernel_init=kernel_init or nn.initializers.xavier_uniform(),
     )
 
 

@@ -77,6 +77,8 @@ class InterNet(nn.Module):
     dev_structure: str = "beta"
     dev_loss_choice: str = "l1"
     dev_upsample_fac: float = 2.0
+    dev_upsample_init: str = "xavier"
+    dev_upsample_residual: bool = False
     dev_multi_upsampler: bool = False
     dev_dis_upsampler: bool = False
     dev_baseline: bool = False
@@ -131,6 +133,8 @@ class InterNet(nn.Module):
             dev_structure=cfg.DEV.STRUCTURE,
             dev_loss_choice=cfg.DEV.LOSS_CHOICE,
             dev_upsample_fac=cfg.DEV.UPSAMPLE_FAC,
+            dev_upsample_init=cfg.DEV.UPSAMPLE_INIT,
+            dev_upsample_residual=cfg.DEV.UPSAMPLE_RESIDUAL,
             dev_multi_upsampler=cfg.DEV.MULTI_UPSAMPLER,
             dev_dis_upsampler=cfg.DEV.DIS_UPSAMPLER,
             dev_baseline=cfg.DEV.BASELINE,
@@ -179,6 +183,8 @@ class InterNet(nn.Module):
             roi_method=self.roi_method,
             window_cap=self.roi_pool_window_cap,
             upsample_fac=self.dev_upsample_fac,
+            upsample_init=self.dev_upsample_init,
+            upsample_residual=self.dev_upsample_residual,
             multi_upsampler=self.dev_multi_upsampler,
             dis_upsampler=self.dev_dis_upsampler,
             loss_choice=self.dev_loss_choice,

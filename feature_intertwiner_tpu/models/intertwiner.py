@@ -70,30 +70,85 @@ def class_mean(
     return feat, cnt[None, :]
 
 
+def _identity_conv_init(key, shape, dtype):
+    """Delta kernel: conv(x) == x at init (kernel [kh,kw,cin,cout])."""
+    kh, kw, cin, cout = shape
+    k = jnp.zeros(shape, dtype)
+    return k.at[kh // 2, kw // 2].set(jnp.eye(cin, cout, dtype=dtype))
+
+
+def _bilinear_deconv_init(key, shape, dtype):
+    """Per-channel bilinear-upsampling kernel for a stride-2 ConvTranspose:
+    deconv(x) == bilinear 2× upsample of x at init. For the 3×3 kernel the
+    per-axis taps are [0.5, 1, 0.5] (even output cells copy, odd ones
+    average neighbours)."""
+    kh, kw, cin, cout = shape
+
+    def taps(n, stride=2):
+        c = (n - 1) / 2.0
+        return 1.0 - jnp.abs(jnp.arange(n, dtype=jnp.float32) - c) / stride
+
+    w2d = taps(kh)[:, None] * taps(kw)[None, :]
+    eye = jnp.eye(cin, cout, dtype=jnp.float32)
+    return (w2d[:, :, None, None] * eye[None, None]).astype(dtype)
+
+
 class UpsampleBlock(nn.Module):
     """The "make-up layer" (sub_module.py:309-327): conv (fac 1) or 2×
-    ConvTranspose (fac 2), + BN + ReLU."""
+    ConvTranspose (fac 2), + BN + ReLU.
+
+    ``init_mode='identity'`` is the warm-graft mitigation (VERDICT r2 #5):
+    grafting a fresh Dev onto a converged ``DEV.SWITCH=False`` baseline
+    re-routes every small-RoI pooling through this block, and a random
+    kernel destroys the converged feature path at step 0 (measured
+    −0.04…−0.06 AP at small fine-tune budgets). With 'identity' the conv is
+    a delta kernel / the deconv a bilinear-upsampling kernel and BN starts
+    at identity (scale 1, bias 0, running stats (0, 1)), so at init the
+    block computes ``relu(x)`` / ``relu(bilinear2×(x))`` — the converged
+    path survives up to ReLU clipping of negative activations.
+    ``residual=True`` closes that last gap: the block returns
+    ``base + gate·(block(x) − base)`` with a zero-initialized per-channel
+    gate (base = x, or its bilinear 2× upsample for fac 2) — exact identity
+    at init, and the gate lets training interpolate toward the learned
+    make-up feature. Both are opt-in extensions; defaults match the
+    reference exactly."""
 
     channels: int
     factor: float = 2.0
+    init_mode: str = "xavier"   # 'xavier' (reference) | 'identity'
+    residual: bool = False      # zero-init gated residual around the block
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train_bn: bool = False):
+        if self.init_mode not in ("xavier", "identity"):
+            raise ValueError(f"UPSAMPLE_INIT must be xavier|identity, "
+                             f"got {self.init_mode}")
+        identity = self.init_mode == "identity"
         if self.factor == 1.0:
-            y = conv(self.channels, 3, name="conv", dtype=self.dtype)(x)
+            y = conv(self.channels, 3, name="conv", dtype=self.dtype,
+                     kernel_init=_identity_conv_init if identity else None)(x)
         elif self.factor == 2.0:
             y = nn.ConvTranspose(
                 self.channels, (3, 3), strides=(2, 2), padding="SAME",
                 name="deconv", dtype=self.dtype,
-                kernel_init=nn.initializers.xavier_normal(),
+                kernel_init=(_bilinear_deconv_init if identity
+                             else nn.initializers.xavier_normal()),
             )(x)
         else:
             raise ValueError(f"UPSAMPLE_FAC must be 1 or 2, got {self.factor}")
         # torch-default BN (sub_module.py:322 passes no eps/momentum)
         y = BN(dtype=self.dtype, epsilon=1e-5, momentum=0.9,
                name="bn")(y, train_bn)
-        return nn.relu(y)
+        y = nn.relu(y)
+        if self.residual:
+            base = x if self.factor == 1.0 else jax.image.resize(
+                x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+                method="bilinear").astype(y.dtype)
+            gate = self.param("gate", nn.initializers.zeros,
+                              (self.channels,), jnp.float32)
+            y = base + gate.astype(y.dtype) * (y - base)
+        return y
 
 
 class Critic(nn.Module):
@@ -136,6 +191,8 @@ class Dev(nn.Module):
     # roi_pool per-bin window bound; 0 = exact per level (ROIS.WINDOW_CAP)
     window_cap: int = 8
     upsample_fac: float = 2.0
+    upsample_init: str = "xavier"
+    upsample_residual: bool = False
     multi_upsampler: bool = False
     dis_upsampler: bool = False
     loss_choice: str = "l1"
@@ -238,11 +295,15 @@ class Dev(nn.Module):
         elif self.multi_upsampler:
             ups = [
                 UpsampleBlock(feats[i].shape[-1], self.upsample_fac,
+                              init_mode=self.upsample_init,
+                              residual=self.upsample_residual,
                               name=f"upsample{i}", dtype=self.dtype)(feats[i], train_bn)
                 for i in range(4)
             ]
         else:
             shared = UpsampleBlock(feats[0].shape[-1], self.upsample_fac,
+                                   init_mode=self.upsample_init,
+                                   residual=self.upsample_residual,
                                    name="upsample0", dtype=self.dtype)
             ups = [shared(f, train_bn) for f in feats]
 

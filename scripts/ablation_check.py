@@ -61,7 +61,8 @@ def ensure_dataset(root: str, train_n: int, val_n: int,
 
 
 def build_cfg(variant: str, seed: int, schedule, result_folder: str,
-              init_npz=None, lr=None):
+              init_npz=None, lr=None, upsample_init="xavier",
+              upsample_residual=False):
     import jax.numpy as jnp  # noqa: F401  (defer jax import past argparse)
 
     from feature_intertwiner_tpu.config import build_config
@@ -102,6 +103,11 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
         cfg.DEV.LOSS_FAC = 10.0
         cfg.DEV.UPSAMPLE_FAC = 1.0
         cfg.DEV.BIG_FEAT_DETACH = True
+        # warm-graft mitigation (VERDICT r2 #5): identity make-up init /
+        # zero-init gated residual so the graft preserves the converged
+        # small-RoI path at step 0 (models/intertwiner.py::UpsampleBlock)
+        cfg.DEV.UPSAMPLE_INIT = upsample_init
+        cfg.DEV.UPSAMPLE_RESIDUAL = upsample_residual
     cfg.finalize()
     cfg.MISC.RESULT_FOLDER = result_folder
     os.makedirs(result_folder, exist_ok=True)
@@ -109,7 +115,8 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
 
 
 def run_variant(variant: str, seed: int, schedule, data_root: str,
-                init_npz=None, lr=None, run_tag=""):
+                init_npz=None, lr=None, run_tag="", upsample_init="xavier",
+                upsample_residual=False):
     import jax
     import jax.numpy as jnp
 
@@ -124,7 +131,9 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
 
     tag = ("_ft" if init_npz else "") + run_tag
     folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}{tag}")
-    cfg = build_cfg(variant, seed, schedule, folder, init_npz=init_npz, lr=lr)
+    cfg = build_cfg(variant, seed, schedule, folder, init_npz=init_npz, lr=lr,
+                    upsample_init=upsample_init,
+                    upsample_residual=upsample_residual)
     loader, val, val_api = get_data(cfg, data_root=data_root)
     cfg.DATASET.NUM_CLASSES = val.num_classes
 
@@ -239,6 +248,30 @@ def print_table(results):
                     print(f"{'':12s} bootstrap 95% CI of mean Δ "
                           "(10k resamples; p = 2-sided sign-flip test): "
                           + " ".join(ci_parts))
+                    pw = []
+                    for c in ("AP", "AP_small", "AP_medium"):
+                        d = np.array([r[c] - base_by_seed[r["seed"]][c]
+                                      for r in paired])
+                        n_req = _seeds_to_resolve(d)
+                        pw.append(f"{c}≈{n_req}")
+                    print(f"{'':12s} power: seeds needed for the 95% CI to "
+                          "exclude 0 at the observed mean/sd: "
+                          + " ".join(pw))
+
+
+def _seeds_to_resolve(d, alpha_z=1.96, cap=10000):
+    """Seeds needed for the mean-paired-delta 95% CI (normal approx,
+    observed sd) to exclude zero — the tracked power analysis VERDICT r2 #2
+    asks for when the measured n cannot resolve the effect. Returns the
+    smallest n with |mean| > z·sd/√n, or ">cap" when the observed mean is
+    (near) zero and no finite n resolves it."""
+    m, s = abs(float(np.mean(d))), float(np.std(d, ddof=1))
+    if s == 0:
+        return 1
+    if m < 1e-9:
+        return f">{cap}"
+    n = int(np.ceil((alpha_z * s / m) ** 2))
+    return n if n <= cap else f">{cap}"
 
 
 def _paired_bootstrap(d, n_boot=10000, seed=0):
@@ -277,6 +310,12 @@ def main():
                     help="pretrained overlay (paper-regime fine-tune); "
                          "results tagged <variant>_ft")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--upsample-init", default="xavier",
+                    choices=["xavier", "identity"],
+                    help="make-up layer kernel init (warm-graft mitigation)")
+    ap.add_argument("--upsample-residual", action="store_true",
+                    help="zero-init gated residual around the make-up layer "
+                         "(exact identity at graft time)")
     ap.add_argument("--color-mode", default="class",
                     choices=["class", "paired"],
                     help="'paired': classes share colors pairwise and "
@@ -313,7 +352,9 @@ def main():
     if len(arms) == 1 or args.in_process:
         for seed, variant in arms:
             run_variant(variant, seed, schedule, data_root,
-                        init_npz=args.init_npz, lr=args.lr, run_tag=run_tag)
+                        init_npz=args.init_npz, lr=args.lr, run_tag=run_tag,
+                        upsample_init=args.upsample_init,
+                        upsample_residual=args.upsample_residual)
     else:
         # one fresh interpreter per arm: a multi-arm sweep in one process
         # accumulates ~15 GB of host RSS per arm (jit executables + live
@@ -334,6 +375,10 @@ def main():
                 cmd += ["--lr", str(args.lr)]
             if args.tag:
                 cmd += ["--tag", args.tag]
+            if args.upsample_init != "xavier":
+                cmd += ["--upsample-init", args.upsample_init]
+            if args.upsample_residual:
+                cmd += ["--upsample-residual"]
             rc = subprocess.call(cmd)
             if rc != 0:
                 print(f"[ablation] arm {variant} s{seed} exited {rc}; "
