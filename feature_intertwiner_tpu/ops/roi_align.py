@@ -50,14 +50,23 @@ Replaces the reference's C/CUDA extension
      inference batch, and the stack-build cost eats most of it. Rejected:
      keep the row-gather formulation; it IS the wall for the dominant 7²
      stage.
-   - The remaining door is a Pallas kernel that manually DMAs per-box
+   - The remaining door — a Pallas kernel that manually DMAs per-box
      [Sy,Sx,C] windows HBM→VMEM (dynamic offsets, double-buffered — the
-     paged-attention pattern) and interpolates on the MXU. Estimated
-     30-50 ms for the 7² stage IF DMA sustains ≥300 GB/s, but the
-     in-kernel matmul must be block-diagonal over a box tile (Mosaic
-     forbids 3-D dot/batched dims), burning BT× the FLOPs, and the
-     round-1 two-matmul kernel already stopped lowering under the current
-     toolchain — high-risk, not attempted this round.
+     paged-attention pattern) and interpolates on the MXU — was BUILT AND
+     MEASURED in round 3: ops/roi_align_window.py. It avoids the
+     block-diagonal-matmul trap by building ONE combined [crop², Sy·Sx]
+     bilinear matrix per box from 2-D iotas (hat function) and issuing one
+     MXU matmul per box against the window collapsed to [Sy·Sx, C] (a
+     leading-dim collapse, which Mosaic accepts, unlike lane merges).
+     Measured v5e (scripts/profile_roi_window.py, 1024² pyramid, bf16):
+     7² classifier stage 32×1000 RoIs 75.9→54.2 ms (1.40×), 14² mask
+     stage 32×100 dets 47.6→29.4 ms (1.62×), 14² train 8×200 35.5→28.2 ms
+     (1.26×), with ~97% of boxes fitting the static 32×32 window (the
+     rest need an XLA-path fallback for exactness). Not yet the default
+     production path — forward-only, and the ~3% unfit tail needs the
+     hybrid routing; see roi_align_window.py for the Mosaic constraints
+     discovered (SMEM lane-padding of 2-D scalar-prefetch operands,
+     syntactic 8-alignment proofs for W-dim HBM slices).
 
 3. :func:`crop_and_resize_pallas` — Pallas kernel holding a channel-tile of
    the feature map resident in VMEM; boxes are streamed through SMEM and

@@ -1,0 +1,273 @@
+"""Window-DMA Pallas RoIAlign — the round-2 analysis' one unexplored door.
+
+The production RoIAlign (ops/roi_align.py::multilevel_crop_and_resize) runs
+at the measured XLA row-gather wall (~45 GB/s). The round-2 rejection
+analysis (ops/roi_align.py:33-60) left exactly one formulation unmeasured:
+manually DMA each box's [Sy,Sx,C] feature window HBM->VMEM (dynamic
+offsets, double-buffered — the paged-attention pattern) and interpolate
+on the MXU. This module is that kernel, built for the multilevel (FPN)
+path (reference semantics: crop_and_resize_kernel.cu:17-82 applied per
+pyramid level, lib/layers.py:145-218).
+
+Design (per grid step = one tile of BT boxes):
+
+- per-box window origin + level are scalar-prefetched PACKED into one
+  int32 per box and box coords as four 1-D f32 arrays — 2-D [N,k]
+  prefetch operands are lane-padded to [N,128] in SMEM and blow the 1 MB
+  SMEM budget at production box counts (measured: a [4096,3] i32 operand
+  allocates 2 MB and refuses to compile);
+- window x-origins are stored as x0//8 and multiplied back in-kernel:
+  Mosaic must SYNTACTICALLY prove a dynamic HBM slice start in the
+  lane-tiled W dimension divisible by the 8-wide sublane tile;
+- the box's level map is one of four ANY/HBM refs; one `pl.when` branch
+  per level starts (and later waits) the window DMA into a shared
+  double-buffered VMEM scratch — boxes on other levels skip the copy;
+- interpolation is ONE MXU matmul per box: ``out = M @ win``, where
+  ``win`` is the window collapsed to [Sy·Sx, C] (leading-dim collapse —
+  the lane dim stays intact, unlike the [H,W,C]->[H,W·C] merge Mosaic
+  rejects) and ``M`` [RU, Sy·Sx] is the combined bilinear matrix built
+  directly from 2-D iotas with the hat function
+  ``w(p, t) = max(0, 1-|p-t|)`` — for in-range positions this equals the
+  reference's floor/ceil two-tap weights exactly (integer positions give
+  the single tap weight 1), and out-of-range samples are zeroed
+  (extrapolation_value=0, the only value the model uses).
+
+A box "fits" when its (clipped, alignment-adjusted) sample-grid span is
+<= the static window along both axes; the wrapper returns a per-box
+``fits`` mask. For boxes that do not fit (extreme aspect ratios at a
+clamped level), taps outside the window are silently dropped by the hat
+function — callers that need exact values everywhere must route ``~fits``
+boxes through the XLA path.
+
+Measured on v5e (scripts/profile_window_dma.py, scripts/profile_roi_window.py)
+— see the README "Performance" section for the verdict.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
+                       *level_refs_and_out, bt, sy, sx, ch, cw, ru,
+                       dims):
+    """pk_ref SMEM [N] int32 = lvl + b·4 + (x0//8)·2^8 + y0·2^16;
+    y1/x1/y2/x2 SMEM [N] f32 normalized box coords;
+    level_refs: len(dims) ANY refs [B,H_l,W_l,C]; out VMEM [BT, RU, C];
+    scratch VMEM [2, sy, sx, C]; sems DMA [2]; dims = static (H_l, W_l)."""
+    nlevels = len(dims)
+    level_refs = level_refs_and_out[:nlevels]
+    out_ref = level_refs_and_out[nlevels]
+    scratch = level_refs_and_out[nlevels + 1]
+    sems = level_refs_and_out[nlevels + 2]
+    ti = pl.program_id(0)
+    c = out_ref.shape[-1]
+
+    def unpack(i):
+        v = pk_ref[ti * bt + i]
+        lvl = v % 4
+        b = (v // 4) % 64
+        x08 = (v // (2 ** 8)) % (2 ** 8)
+        y0 = v // (2 ** 16)
+        return lvl, b, y0, x08
+
+    def start_dma(slot, i):
+        lvl, b, y0, x08 = unpack(i)
+        for l in range(nlevels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                pltpu.make_async_copy(
+                    level_refs[l].at[b, pl.ds(y0, sy), pl.ds(x08 * 8, sx), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                ).start()
+
+    def wait_dma(slot, i):
+        lvl, b, y0, x08 = unpack(i)
+        for l in range(nlevels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                pltpu.make_async_copy(
+                    level_refs[l].at[b, pl.ds(y0, sy), pl.ds(x08 * 8, sx), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                ).wait()
+
+    start_dma(0, 0)
+
+    # row/col index planes for the M matrix, shared across boxes
+    rr = lax.broadcasted_iota(jnp.int32, (ru, sy * sx), 0)
+    qq = lax.broadcasted_iota(jnp.int32, (ru, sy * sx), 1)
+    jj = (rr // cw).astype(jnp.float32)          # output row of the crop
+    kk = (rr % cw).astype(jnp.float32)           # output col of the crop
+    yy = (qq // sx).astype(jnp.float32)          # window row
+    xx = (qq % sx).astype(jnp.float32)           # window col
+
+    def level_const(lvl, values):
+        out = jnp.float32(values[-1])
+        for l in range(nlevels - 2, -1, -1):
+            out = jnp.where(lvl == l, jnp.float32(values[l]), out)
+        return out
+
+    def grid_1d(c0, c1, crop, dim):
+        if crop > 1:
+            start = c0 * (dim - 1.0)
+            step = (c1 - c0) * (dim - 1.0) / (crop - 1)
+        else:
+            start = 0.5 * (c0 + c1) * (dim - 1.0)
+            step = jnp.float32(0.0)
+        return start, step
+
+    def body(i, _):
+        g = ti * bt + i
+        slot = lax.rem(i, 2)
+        nxt = lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < bt)
+        def _():
+            start_dma(nxt, i + 1)
+
+        wait_dma(slot, i)
+
+        lvl, _b, y0, x08 = unpack(i)
+        hf = level_const(lvl, [d[0] for d in dims])
+        wf = level_const(lvl, [d[1] for d in dims])
+        y0f = y0.astype(jnp.float32)
+        x0f = (x08 * 8).astype(jnp.float32)
+        sy_abs, sty = grid_1d(y1_ref[g], y2_ref[g], ch, hf)
+        sx_abs, stx = grid_1d(x1_ref[g], x2_ref[g], cw, wf)
+
+        py = (sy_abs - y0f) + jj * sty            # window-relative sample y
+        px = (sx_abs - x0f) + kk * stx
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - yy))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xx))
+        vy = (py + y0f >= 0.0) & (py + y0f <= hf - 1.0)
+        vx = (px + x0f >= 0.0) & (px + x0f <= wf - 1.0)
+        m = jnp.where(vy & vx, wy * wx, 0.0)      # [RU, Sy·Sx]
+
+        win = scratch[slot].reshape(sy * sx, c).astype(jnp.float32)
+        vals = jnp.dot(m, win, preferred_element_type=jnp.float32)
+        out_ref[i, :, :] = vals.astype(out_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, bt, body, 0)
+
+
+def _grid_params(boxes, level_idx, heights, widths, crop, axis):
+    """Per-box sampling-grid start/step in that level's cell units."""
+    dim = (heights if axis == 0 else widths)[level_idx].astype(jnp.float32)
+    c0 = boxes[:, 0 + axis]
+    c1 = boxes[:, 2 + axis]
+    if crop > 1:
+        start = c0 * (dim - 1.0)
+        step = (c1 - c0) * (dim - 1.0) / (crop - 1)
+    else:
+        start = 0.5 * (c0 + c1) * (dim - 1.0)
+        step = jnp.zeros_like(start)
+    return start, step, dim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "window", "box_tile", "interpret"))
+def multilevel_roi_align_window(
+    features: Sequence[jax.Array],
+    boxes: jax.Array,
+    box_indices: jax.Array,
+    level_idx: jax.Array,
+    crop_size: Tuple[int, int],
+    window: Tuple[int, int] = (32, 32),
+    box_tile: int = 64,
+    interpret: bool = False,
+):
+    """FPN RoIAlign via per-box window DMA.
+
+    features: [P2..P5] NHWC (each H,W >= window); boxes [N,4] normalized;
+    box_indices [N] int32; level_idx [N] int32 in [0, len(features)).
+    Returns (crops [N, ch, cw, C], fits [N] bool). Values for ``~fits``
+    boxes drop out-of-window taps — route those through the XLA path.
+    """
+    ch, cw = crop_size
+    sy, sx = window
+    n = boxes.shape[0]
+    c = features[0].shape[-1]
+    nlevels = len(features)
+    dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    for f in features:
+        assert f.shape[1] >= sy and f.shape[2] >= sx, (f.shape, window)
+    assert sx % 8 == 0, "window width must be sublane-aligned"
+    heights = jnp.array([d[0] for d in dims], jnp.int32)
+    widths = jnp.array([d[1] for d in dims], jnp.int32)
+
+    ys, yt, hf = _grid_params(boxes, level_idx, heights, widths, ch, axis=0)
+    xs, xt, wf = _grid_params(boxes, level_idx, heights, widths, cw, axis=1)
+
+    def origin_and_fit(start, step, crop, dim, span, align=1):
+        # align: Mosaic requires dynamic HBM slice starts in the lane-tiled
+        # W dimension to be divisible by the 8-wide sublane tile; y starts
+        # are unconstrained. Aligning down costs up to align-1 cells of the
+        # window's usable span (folded into the fit test).
+        end = start + step * (crop - 1)
+        lo = jnp.clip(jnp.floor(jnp.minimum(start, end)), 0, dim - 1.0)
+        hi = jnp.clip(jnp.ceil(jnp.maximum(start, end)), 0, dim - 1.0)
+        if align > 1:
+            lo = jnp.floor(lo / align) * align
+        fits = hi - lo + 1.0 <= span
+        o = jnp.clip(lo, 0.0, dim - span).astype(jnp.int32)
+        if align > 1:
+            o = (o // align) * align
+        return o, fits
+
+    y0, fit_y = origin_and_fit(ys, yt, ch, hf, float(sy))
+    x0, fit_x = origin_and_fit(xs, xt, cw, wf, float(sx), align=8)
+    fits = fit_y & fit_x
+
+    bt = min(box_tile, n)
+    n_pad = _pad_up(n, bt)
+    ru = _pad_up(ch * cw, 8)
+
+    # one packed int32 per box (SMEM budget — see module docstring):
+    # lvl (2b) | batch (6b) | x0//8 (8b) | y0 (12b)
+    packed = (level_idx.astype(jnp.int32)
+              + box_indices.astype(jnp.int32) * 4
+              + (x0 // 8) * (2 ** 8)
+              + y0 * (2 ** 16))
+    coords = [boxes[:, i].astype(jnp.float32) for i in range(4)]
+    if n_pad != n:
+        packed = jnp.pad(packed, (0, n_pad - n))
+        coords = [jnp.pad(v, (0, n_pad - n)) for v in coords]
+
+    kernel = functools.partial(
+        _window_roi_kernel, bt=bt, sy=sy, sx=sx, ch=ch, cw=cw, ru=ru,
+        dims=dims)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_pad // bt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlevels,
+        out_specs=pl.BlockSpec((bt, ru, c), lambda ti, *_: (ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, sy, sx, c), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, ru, c), features[0].dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(packed, coords[0], coords[1], coords[2], coords[3], *features)
+    crops = out[:n, : ch * cw, :].reshape(n, ch, cw, c)
+    return crops, fits

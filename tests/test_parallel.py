@@ -18,6 +18,7 @@ def test_mesh_has_8_devices():
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_parallel_train_step_runs_and_stays_replicated():
     n = 4
     mesh = make_mesh(n)
@@ -47,6 +48,7 @@ def test_parallel_train_step_runs_and_stays_replicated():
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_multi_epoch_mesh_training_checkpoint_and_buffer():
     """Multi-epoch SPMD evidence (VERDICT r1 #6): several epochs on the
     8-virtual-device mesh must decrease the loss, keep the intertwiner
@@ -114,6 +116,7 @@ def test_multi_epoch_mesh_training_checkpoint_and_buffer():
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_mesh_vs_single_device_loss_trajectory():
     """Fixed total batch: the mesh-N trajectory must EQUAL the single-device
     emulation (run each shard separately with the same per-device rng fold,
@@ -176,6 +179,7 @@ def test_mesh_vs_single_device_loss_trajectory():
 
 
 @pytest.mark.slow
+@pytest.mark.soak
 def test_bn_learn_batch_stats_replicated_under_mesh():
     """TRAIN.BN_LEARN under SPMD: per-device BN statistics must be pmean'd —
     the mesh result equals the average of per-shard single-device updates."""

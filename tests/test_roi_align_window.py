@@ -1,0 +1,81 @@
+"""Window-DMA Pallas RoIAlign (ops/roi_align_window.py) vs the production
+XLA gather — interpret-mode parity (the kernel-correctness idiom of
+SURVEY.md §4; hardware timing lives in scripts/profile_roi_window.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_intertwiner_tpu.ops.roi_align import (
+    assign_fpn_level, multilevel_crop_and_resize)
+from feature_intertwiner_tpu.ops.roi_align_window import (
+    multilevel_roi_align_window)
+
+IMAGE = 256
+
+
+def _pyramid(rng, b=2, c=64):
+    return [jnp.asarray(rng.randn(b, s, s, c), jnp.float32)
+            for s in (64, 32, 32, 32)]
+
+
+def _boxes(rng, n, b=2, max_hw=0.25):
+    yx = rng.rand(n, 2) * 0.7
+    hw = rng.rand(n, 2) * max_hw + 0.02
+    boxes = np.concatenate([yx, yx + hw], 1).astype(np.float32)
+    bidx = rng.randint(0, b, n).astype(np.int32)
+    lvl = np.asarray(assign_fpn_level(jnp.asarray(boxes), (IMAGE, IMAGE))) - 2
+    return (jnp.asarray(boxes), jnp.asarray(bidx),
+            jnp.asarray(np.clip(lvl, 0, 3).astype(np.int32)))
+
+
+@pytest.mark.parametrize("crop", [(7, 7), (14, 14)])
+def test_window_kernel_matches_xla_gather(rng, crop):
+    feats = _pyramid(rng)
+    boxes, bidx, lvl = _boxes(rng, 96)
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, crop,
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, crop, window=(32, 32), box_tile=32,
+        interpret=True)
+    fits = np.asarray(fits)
+    assert fits.all()  # bounded boxes at their eqn-1 level all fit 32x32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_window_kernel_flags_oversized_boxes(rng):
+    feats = _pyramid(rng)
+    # a full-image box forced onto P2 (level 0): 64-cell span > 32 window
+    boxes = jnp.asarray([[0.01, 0.01, 0.99, 0.99], [0.1, 0.1, 0.2, 0.2]],
+                        jnp.float32)
+    bidx = jnp.zeros(2, jnp.int32)
+    lvl = jnp.zeros(2, jnp.int32)
+    boxes = jnp.tile(boxes, (16, 1))
+    bidx = jnp.tile(bidx, 16)
+    lvl = jnp.tile(lvl, 16)
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 32), box_tile=32,
+        interpret=True)
+    fits = np.asarray(fits)
+    assert not fits[0] and fits[1]
+    # the fitting box is still exact
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got)[fits], np.asarray(ref)[fits],
+                               rtol=0, atol=5e-5)
+
+
+def test_window_kernel_pads_nonmultiple_box_counts(rng):
+    feats = _pyramid(rng)
+    boxes, bidx, lvl = _boxes(rng, 50)  # not a multiple of box_tile
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 32), box_tile=32,
+        interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got)[np.asarray(fits)],
+                               np.asarray(ref)[np.asarray(fits)],
+                               rtol=0, atol=5e-5)
