@@ -29,6 +29,7 @@ can never again masquerade as a regression.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -137,19 +138,25 @@ def bench_train(batch, iters, size, backbone, dtype):
     from feature_intertwiner_tpu.train.step import (
         create_train_state, make_train_step)
 
-    cfg = build_config()
-    cfg.DEV.SWITCH = True
-    cfg.DEV.LOSS_CHOICE = "l2"
-    cfg.DEV.BUFFER_SIZE = 1
-    cfg.DEV.UPSAMPLE_FAC = 1.0
-    cfg.TRAIN.BATCH_SIZE = batch
-    cfg.MODEL.BACKBONE = backbone
-    # from_config sizes anchors/clip windows off DATA.IMAGE_MAX_DIM — it
-    # must match the synthetic batch below or BENCH_IMAGE != 1024 trips a
-    # [B, anchors] vs [B, positions] shape mismatch in the RPN loss
-    cfg.DATA.IMAGE_MIN_DIM = size
-    cfg.DATA.IMAGE_MAX_DIM = size
-    cfg.finalize()
+    def make_cfg(use_window):
+        cfg = build_config()
+        cfg.DEV.SWITCH = True
+        cfg.DEV.LOSS_CHOICE = "l2"
+        cfg.DEV.BUFFER_SIZE = 1
+        cfg.DEV.UPSAMPLE_FAC = 1.0
+        cfg.TRAIN.BATCH_SIZE = batch
+        cfg.MODEL.BACKBONE = backbone
+        cfg.TPU.ROI_WINDOW_KERNEL = use_window
+        # from_config sizes anchors/clip windows off DATA.IMAGE_MAX_DIM — it
+        # must match the synthetic batch below or BENCH_IMAGE != 1024 trips a
+        # [B, anchors] vs [B, positions] shape mismatch in the RPN loss
+        cfg.DATA.IMAGE_MIN_DIM = size
+        cfg.DATA.IMAGE_MAX_DIM = size
+        cfg.finalize()
+        return cfg
+
+    use_window = os.environ.get("BENCH_ROI_WINDOW", "1") != "0"
+    cfg = make_cfg(use_window)
     model = InterNet.from_config(cfg, dtype=dtype)
 
     g = 100
@@ -175,15 +182,31 @@ def bench_train(batch, iters, size, backbone, dtype):
         gt_class_ids=data["gt_class_ids"][:1],
         gt_boxes=data["gt_boxes"][:1], gt_masks=data["gt_masks"][:1]))()
     state = create_train_state(cfg, variables)
-    # donated like the production Trainer path (in-place state update)
-    step = jax.jit(make_train_step(model, cfg, "all"), donate_argnums=(0,))
-    compiled = step.lower(state, data, jnp.float32(1e-3), jnp.float32(1.0),
-                          jax.random.PRNGKey(2)).compile()
-    step = compiled
 
-    state, metrics = step(state, data, jnp.float32(1e-3), jnp.float32(1.0),
-                          jax.random.PRNGKey(2))
-    float(metrics["total_loss"])
+    def compile_and_warm(cfg, state):
+        # donated like the production Trainer path (in-place state update)
+        step = jax.jit(make_train_step(model, cfg, "all"), donate_argnums=(0,))
+        compiled = step.lower(state, data, jnp.float32(1e-3),
+                              jnp.float32(1.0), jax.random.PRNGKey(2)).compile()
+        state2, metrics = compiled(state, data, jnp.float32(1e-3),
+                                   jnp.float32(1.0), jax.random.PRNGKey(2))
+        float(metrics["total_loss"])
+        return compiled, state2
+
+    try:
+        compiled, state = compile_and_warm(cfg, state)
+    except Exception as e:  # noqa: BLE001 — window kernel fallback (see
+        # the inference-mode comment); state was donated, rebuild it
+        if not use_window:
+            raise
+        print(f"# window kernel failed ({type(e).__name__}); "
+              "falling back to XLA gather", file=sys.stderr)
+        use_window = False
+        cfg = make_cfg(False)
+        model = InterNet.from_config(cfg, dtype=dtype)
+        state = create_train_state(cfg, variables)
+        compiled, state = compile_and_warm(cfg, state)
+    step = compiled
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     key = 3
     repeat_secs = []
@@ -204,6 +227,7 @@ def bench_train(batch, iters, size, backbone, dtype):
                              3),
         "best_images_per_sec": stats["best_images_per_sec"],
         "repeat_sec": stats["repeat_sec"],
+        "roi_window_kernel": use_window,
     }
     sec_per_step = stats["median_sec"] / iters
     util = chip_utilization(compiled, sec_per_step)
@@ -232,39 +256,56 @@ def main():
     if mode == "train":
         return bench_train(batch, iters, size, backbone, dtype)
 
-    model = InterNet(
-        backbone=backbone,
-        num_classes=81,
-        image_size=size,
-        dev_switch=True,
-        dev_loss_choice="l2",
-        dev_upsample_fac=1.0,
-        dtype=dtype,
-    )
-
     rng = np.random.RandomState(0)
     images = jnp.array(rng.randn(batch, size, size, 3).astype(np.float32))
     windows = jnp.tile(
         jnp.array([[0.0, 0.0, size, size]], jnp.float32), (batch, 1))
-
-    variables = jax.jit(
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, images,
-                           mode="inference", windows=windows))()
-
-    def infer_fn(v, im, win):
-        return model.apply(v, im, mode="inference", windows=win)
-
-    compiled = jax.jit(infer_fn).lower(variables, images, windows).compile()
-    infer = compiled
 
     def sync(o):
         # A real device->host transfer is the only reliable sync under the
         # remote-execution runtime (block_until_ready returns immediately).
         return np.asarray(o["detections"])
 
-    # warmup / compile (two calls: some runtimes re-specialize on the second)
-    for _ in range(2):
-        sync(infer(variables, images, windows))
+    def setup(use_window):
+        model = InterNet(
+            backbone=backbone,
+            num_classes=81,
+            image_size=size,
+            dev_switch=True,
+            dev_loss_choice="l2",
+            dev_upsample_fac=1.0,
+            roi_window_kernel=use_window,
+            dtype=dtype,
+        )
+        variables = jax.jit(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, images,
+                               mode="inference", windows=windows))()
+
+        def infer_fn(v, im, win):
+            return model.apply(v, im, mode="inference", windows=win)
+
+        compiled = jax.jit(infer_fn).lower(variables, images,
+                                           windows).compile()
+        # warmup (two calls: some runtimes re-specialize on the second)
+        for _ in range(2):
+            sync(compiled(variables, images, windows))
+        return variables, compiled
+
+    # Window-DMA RoIAlign (ops/roi_align_window.py, 1.26-1.62x on the RoI
+    # slices) is on by default; any compile/runtime failure (e.g. a future
+    # Mosaic toolchain change) falls back to the XLA gather path so the
+    # official capture never dies to the experimental kernel.
+    use_window = os.environ.get("BENCH_ROI_WINDOW", "1") != "0"
+    try:
+        variables, compiled = setup(use_window)
+    except Exception as e:  # noqa: BLE001
+        if not use_window:
+            raise
+        print(f"# window kernel failed ({type(e).__name__}); "
+              "falling back to XLA gather", file=sys.stderr)
+        use_window = False
+        variables, compiled = setup(False)
+    infer = compiled
 
     # Pipelined throughput: keep one batch in flight (dispatch i+1 before
     # syncing i), exactly like the eval loop (train/workflow.py) — hides the
@@ -289,6 +330,7 @@ def main():
         "vs_baseline": round(stats["value"] / REFERENCE_IMAGES_PER_SEC, 3),
         "best_images_per_sec": stats["best_images_per_sec"],
         "repeat_sec": stats["repeat_sec"],
+        "roi_window_kernel": use_window,
     }
     sec_per_step = stats["median_sec"] / iters
     util = chip_utilization(compiled, sec_per_step)

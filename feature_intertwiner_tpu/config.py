@@ -275,6 +275,12 @@ def _default_tree() -> AttrDict:
         # (ops/roi_align.py, ops/nms_pallas.py). The tuned XLA formulations
         # are the default compute path and match or beat them on v5e.
         USE_PALLAS=False,
+        # Window-DMA Pallas RoIAlign for the multilevel (FPN) pooling paths
+        # (ops/roi_align_window.py): measured 1.26-1.62x over the XLA
+        # gather on v5e at 1024². Hybrid-exact (XLA fallback for boxes
+        # whose sample grid exceeds the 32x32 window); small images and
+        # non-TPU backends fall back / run interpreted automatically.
+        ROI_WINDOW_KERNEL=False,
         # Static padded shapes (everything under jit must be fixed-shape).
         MAX_PRE_NMS=6000,          # == RPN.PRE_NMS_LIMIT
         # Rematerialization of the backbone during training.

@@ -96,6 +96,7 @@ class InterNet(nn.Module):
     strict_quirks: bool = True
     # tpu
     remat_backbone: bool = False
+    roi_window_kernel: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -148,6 +149,7 @@ class InterNet(nn.Module):
             cls_merge_fac=cfg.DEV.CLS_MERGE_FAC,
             fpn_ot_loss=cfg.TRAIN.FPN_OT_LOSS,
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
+            roi_window_kernel=bool(cfg.TPU.ROI_WINDOW_KERNEL),
             strict_quirks=bool(cfg.MODEL.STRICT_QUIRKS),
             dtype=dtype,
         )
@@ -192,6 +194,7 @@ class InterNet(nn.Module):
             big_supervise=self.dev_big_supervise,
             big_feat_detach=self.dev_big_feat_detach,
             assign_all_scale=self.dev_assign_all_scale,
+            roi_window_kernel=self.roi_window_kernel,
             dtype=self.dtype,
             name="dev",
         )

@@ -54,6 +54,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .roi_align import assign_fpn_level, multilevel_crop_and_resize
+
 
 def _pad_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
@@ -271,3 +273,98 @@ def multilevel_roi_align_window(
     )(packed, coords[0], coords[1], coords[2], coords[3], *features)
     crops = out[:n, : ch * cw, :].reshape(n, ch, cw, c)
     return crops, fits
+
+
+# ---------------------------------------------------------------------------
+# Production hybrid: window kernel + exact XLA fallback + autodiff
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _window_hybrid(features, boxes, box_indices, level_idx, crop_size,
+                   window, fallback_k, interpret):
+    return _hybrid_fwd_impl(features, boxes, box_indices, level_idx,
+                            crop_size, window, fallback_k, interpret)
+
+
+def _hybrid_fwd_impl(features, boxes, box_indices, level_idx, crop_size,
+                     window, fallback_k, interpret):
+    crops, fits = multilevel_roi_align_window(
+        features, boxes, box_indices, level_idx, crop_size, window=window,
+        interpret=interpret)
+    n = boxes.shape[0]
+    k = min(n, fallback_k)
+    # exact values for the unfit tail: route the k most-unfit boxes through
+    # the XLA row gather (k >> the measured ~3% unfit rate; should a batch
+    # ever exceed k unfit boxes, the overflow keeps window values — taps
+    # outside the window dropped)
+    score = (~fits).astype(jnp.float32)
+    _, idx = lax.top_k(score, k)
+    sub = multilevel_crop_and_resize(
+        list(features), boxes[idx], box_indices[idx], crop_size,
+        (1, 1), level_idx=level_idx[idx])
+    take = (~fits)[idx][:, None, None, None]
+    merged = crops.at[idx].set(
+        jnp.where(take, sub.astype(crops.dtype), crops[idx]))
+    return merged
+
+
+def _hybrid_fwd(features, boxes, box_indices, level_idx, crop_size, window,
+                fallback_k, interpret):
+    out = _hybrid_fwd_impl(features, boxes, box_indices, level_idx,
+                           crop_size, window, fallback_k, interpret)
+    return out, (features, boxes, box_indices, level_idx)
+
+
+def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
+    features, boxes, box_indices, level_idx = res
+
+    def ref_fn(feats):
+        return multilevel_crop_and_resize(
+            list(feats), boxes, box_indices, crop_size, (1, 1),
+            level_idx=level_idx)
+
+    _, vjp = jax.vjp(ref_fn, tuple(features))
+    (d_feats,) = vjp(g.astype(jnp.float32))
+    # boxes/box_indices/level_idx are non-differentiable (parity: the
+    # reference's CropAndResizeFunction never backprops into box coords)
+    return (tuple(d.astype(f.dtype) for d, f in zip(d_feats, features)),
+            jnp.zeros_like(boxes), None, None)
+
+
+_window_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def multilevel_crop_and_resize_window(
+    features: Sequence[jax.Array],
+    boxes: jax.Array,
+    box_indices: jax.Array,
+    crop_size: Tuple[int, int],
+    image_shape: Tuple[int, int],
+    assign_base: float = 224.0,
+    level_idx: jax.Array = None,
+    window: Tuple[int, int] = (32, 32),
+    interpret: bool = None,
+):
+    """Drop-in for ops.roi_align.multilevel_crop_and_resize backed by the
+    window-DMA kernel (1.26-1.62x on v5e), with an exact XLA fallback for
+    the unfit tail and the same custom-vjp backward as the gather path.
+
+    Guards: maps smaller than the window (images < 1024² shrink P5 below
+    32 cells) fall back to the pure XLA path entirely, and non-TPU
+    backends run the kernel in interpret mode — so the flag is safe at any
+    config, and tests/virtual-CPU meshes exercise the same code path.
+    """
+    if level_idx is None:
+        level_idx = assign_fpn_level(boxes, image_shape, base=assign_base) - 2
+    sy, sx = window
+    if any(f.shape[1] < sy or f.shape[2] < sx for f in features):
+        return multilevel_crop_and_resize(
+            list(features), boxes, box_indices, crop_size, image_shape,
+            level_idx=level_idx)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = boxes.shape[0]
+    fallback_k = min(n, max(8, n // 16))
+    return _window_hybrid(
+        tuple(features), boxes, box_indices.astype(jnp.int32),
+        level_idx.astype(jnp.int32), tuple(crop_size), (sy, sx), fallback_k,
+        bool(interpret))

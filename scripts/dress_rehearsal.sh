@@ -32,11 +32,14 @@ TRAIN_CMD=(python main.py --phase train
   --config_file configs/105/meta_105_quick_1.yaml
   --config_name "$NAME" --data_root "$DATA"
   TRAIN.SCHEDULE [6,4,3] TRAIN.BN_LEARN True
+  TRAIN.KEEP_CHECKPOINTS 3
   TPU.REMAT_BACKBONE True
   MISC.USE_VISDOM True MISC.VIS.PORT 8097)
 
 echo "== [2/6] 3-stage train, SIGKILLed mid-stage-1 (crash-resume probe) =="
-timeout -s KILL 420 "${TRAIN_CMD[@]}" > "$OUT/train_killed.log" 2>&1
+# 1024² R101 compiles take several minutes; 900 s lands the kill well into
+# stage-1 training, after multiple within-epoch checkpoints exist
+timeout -s KILL 900 "${TRAIN_CMD[@]}" > "$OUT/train_killed.log" 2>&1
 echo "(exit $? — expected 137 from the SIGKILL)"
 tail -3 "$OUT/train_killed.log"
 

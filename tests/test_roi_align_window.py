@@ -79,3 +79,65 @@ def test_window_kernel_pads_nonmultiple_box_counts(rng):
     np.testing.assert_allclose(np.asarray(got)[np.asarray(fits)],
                                np.asarray(ref)[np.asarray(fits)],
                                rtol=0, atol=5e-5)
+
+
+def test_hybrid_is_exact_including_oversized_boxes(rng):
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    feats = _pyramid(rng)
+    boxes, bidx, lvl = _boxes(rng, 60)
+    # splice in oversized boxes (span > 32 cells at their level)
+    big = jnp.asarray([[0.01, 0.01, 0.99, 0.99]] * 4, jnp.float32)
+    boxes = jnp.concatenate([boxes[:60], big], 0)
+    bidx = jnp.concatenate([bidx[:60], jnp.zeros(4, jnp.int32)])
+    lvl = jnp.concatenate([lvl[:60], jnp.zeros(4, jnp.int32)])
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    got = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (IMAGE, IMAGE), level_idx=lvl,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_hybrid_gradient_matches_xla_path(rng):
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    feats = _pyramid(rng, b=1, c=32)
+    boxes, bidx, lvl = _boxes(rng, 16, b=1)
+    cot = jnp.asarray(rng.randn(16, 7, 7, 32), jnp.float32)
+
+    def loss_win(fs):
+        out = multilevel_crop_and_resize_window(
+            fs, boxes, bidx, (7, 7), (IMAGE, IMAGE), level_idx=lvl,
+            interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(fs):
+        out = multilevel_crop_and_resize(list(fs), boxes, bidx, (7, 7),
+                                         (IMAGE, IMAGE), level_idx=lvl)
+        return jnp.sum(out * cot)
+
+    g_win = jax.grad(loss_win)(tuple(feats))
+    g_xla = jax.grad(loss_xla)(tuple(feats))
+    for a, b in zip(g_win, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-4)
+
+
+def test_hybrid_small_map_guard_falls_back(rng):
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    # P5-like 10x10 map < 32x32 window -> pure XLA path, bit-identical
+    feats = [jnp.asarray(rng.randn(1, s, s, 16), jnp.float32)
+             for s in (40, 20, 10, 10)]
+    boxes, bidx, lvl = _boxes(rng, 8, b=1)
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (160, 160), level_idx=lvl)
+    got = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (160, 160), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
+                               atol=0)
