@@ -179,6 +179,15 @@ def resolve_init(cfg, result_folder: str) -> Optional[str]:
     last = find_last(result_folder)
     if last:
         return last
+    # inference/visualize phases: checkpoints live under the run's TRAIN
+    # folder — the reference always resolves results/<name>/train
+    # (_find_last, utils.py:250-260) regardless of phase. Without this, a
+    # standalone `--phase inference` silently evaluated random weights.
+    if os.path.basename(result_folder.rstrip("/")) != "train":
+        last = find_last(
+            os.path.join(os.path.dirname(result_folder.rstrip("/")), "train"))
+        if last:
+            return last
     if choice == "coco_pretrain" and os.path.exists(cfg.MODEL.PRETRAIN_COCO_MODEL):
         return cfg.MODEL.PRETRAIN_COCO_MODEL
     if choice == "imagenet_pretrain" and os.path.exists(

@@ -15,13 +15,19 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 OUT=results/rehearsal
 DATA=$OUT/data
-NAME=rehearsal105
+# the run folder name comes from the yaml file (reference behavior:
+# CONFIG_NAME is derived from --config_file); --config_name is ignored
+NAME=meta_105_quick_1
 mkdir -p "$OUT"
 
 echo "== [1/6] rich synthetic dataset at 768x1024 =="
+# 300 train images: at 1024² the 1-core host's loader paces training at
+# ~3.5 s/step (batch 4), so the reference's full [6,4,3] schedule over 600
+# images would outlast the chip budget; 300 keeps every recipe stage at
+# full resolution within ~1 h
 python - <<PY
 from feature_intertwiner_tpu.data import synthetic
-synthetic.generate_rich("$DATA", num_images=600, split="train", seed=0,
+synthetic.generate_rich("$DATA", num_images=300, split="train", seed=0,
                         size=(768, 1024))
 synthetic.generate_rich("$DATA", num_images=100, split="minival", seed=7777,
                         size=(768, 1024))
@@ -30,7 +36,7 @@ PY
 
 TRAIN_CMD=(python main.py --phase train
   --config_file configs/105/meta_105_quick_1.yaml
-  --config_name "$NAME" --data_root "$DATA"
+  --data_root "$DATA"
   TRAIN.SCHEDULE [6,4,3] TRAIN.BN_LEARN True
   TRAIN.KEEP_CHECKPOINTS 3
   TPU.REMAT_BACKBONE True
@@ -50,14 +56,14 @@ tail -5 "$OUT/train_resumed.log"
 echo "== [4/6] single-scale eval (bf16) =="
 python main.py --phase inference \
   --config_file configs/105/meta_105_quick_1.yaml \
-  --config_name "$NAME" --data_root "$DATA" \
+  --data_root "$DATA" \
   > "$OUT/eval_single.log" 2>&1
 grep -A13 "Average Precision\|IoU metric\|AP @" "$OUT/eval_single.log" | head -16
 
 echo "== [5/6] multi-scale fp32 eval (cache key carries the _ms tag) =="
 python main.py --phase inference \
   --config_file configs/105/meta_105_quick_1.yaml \
-  --config_name "$NAME" --data_root "$DATA" \
+  --data_root "$DATA" \
   TEST.MULTI_SCALE [800,1024,1280] TEST.DTYPE float32 \
   > "$OUT/eval_multiscale.log" 2>&1
 tail -20 "$OUT/eval_multiscale.log"
@@ -65,7 +71,7 @@ tail -20 "$OUT/eval_multiscale.log"
 echo "== [6/6] visualize phase + t-SNE =="
 python main.py --phase visualize \
   --config_file configs/105/meta_105_quick_1.yaml \
-  --config_name "$NAME" --data_root "$DATA" \
+  --data_root "$DATA" \
   > "$OUT/visualize.log" 2>&1
 python scripts/tsne_features.py "results/$NAME/visualize/features.npz" \
   --out "$OUT/tsne.png" >> "$OUT/visualize.log" 2>&1

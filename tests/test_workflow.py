@@ -288,3 +288,23 @@ def test_prune_old_keeps_newest(tmp_path):
     ckpt._prune_to(str(tmp_path), 2)
     kept = sorted(n for n in os.listdir(d) if ckpt.CKPT_RE.match(n))
     assert kept == ["ckpt_ep0001_iter000075", "ckpt_ep0002_iter000075"]
+
+
+def test_resolve_init_falls_back_to_train_folder(tmp_path):
+    """A standalone --phase inference run must resume the TRAIN folder's
+    last checkpoint (parity: _find_last always resolves
+    results/<name>/train, utils.py:250-260). Regression: resolve_init only
+    searched the phase's own folder, so a fresh inference phase silently
+    evaluated random weights."""
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.train import checkpoint as ckpt
+
+    d = tmp_path / "name" / "train" / "checkpoints" / "ckpt_ep0003_iter000007"
+    d.mkdir(parents=True)
+    cfg = build_config()
+    cfg.MODEL.INIT_FILE_CHOICE = "last"
+    got = ckpt.resolve_init(cfg, str(tmp_path / "name" / "inference"))
+    assert got and got.endswith("ckpt_ep0003_iter000007")
+    # the train phase itself still resolves its own folder
+    got2 = ckpt.resolve_init(cfg, str(tmp_path / "name" / "train"))
+    assert got2 and got2.endswith("ckpt_ep0003_iter000007")
