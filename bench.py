@@ -176,14 +176,17 @@ def bench_train(batch, iters, size, backbone, dtype):
                     gt_masks=masks)
 
     data = make_batch(jax.random.PRNGKey(7))
-    variables = jax.jit(lambda: model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        data["images"][:1], mode="train",
-        gt_class_ids=data["gt_class_ids"][:1],
-        gt_boxes=data["gt_boxes"][:1], gt_masks=data["gt_masks"][:1]))()
-    state = create_train_state(cfg, variables)
 
-    def compile_and_warm(cfg, state):
+    def setup_and_warm(cfg, model):
+        # init runs the full forward too, so it must sit inside the fallback
+        # try — a window-kernel failure at init would otherwise escape it
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            data["images"][:1], mode="train",
+            gt_class_ids=data["gt_class_ids"][:1],
+            gt_boxes=data["gt_boxes"][:1], gt_masks=data["gt_masks"][:1]))()
+        state = create_train_state(cfg, variables)
         # donated like the production Trainer path (in-place state update)
         step = jax.jit(make_train_step(model, cfg, "all"), donate_argnums=(0,))
         compiled = step.lower(state, data, jnp.float32(1e-3),
@@ -194,7 +197,7 @@ def bench_train(batch, iters, size, backbone, dtype):
         return compiled, state2
 
     try:
-        compiled, state = compile_and_warm(cfg, state)
+        compiled, state = setup_and_warm(cfg, model)
     except Exception as e:  # noqa: BLE001 — window kernel fallback (see
         # the inference-mode comment); state was donated, rebuild it
         if not use_window:
@@ -204,8 +207,7 @@ def bench_train(batch, iters, size, backbone, dtype):
         use_window = False
         cfg = make_cfg(False)
         model = InterNet.from_config(cfg, dtype=dtype)
-        state = create_train_state(cfg, variables)
-        compiled, state = compile_and_warm(cfg, state)
+        compiled, state = setup_and_warm(cfg, model)
     step = compiled
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     key = 3

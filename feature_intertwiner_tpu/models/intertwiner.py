@@ -318,15 +318,24 @@ class Dev(nn.Module):
         need_pooled_mask = need_mask or (need_small and not self.baseline)
         level_idx = jnp.clip(lvl, 2, 5) - 2
         pooled_cls = pooled_mask = None
+        # Upsampled maps multiply every box's cell span by upsample_fac, so
+        # the window-DMA kernel's static window must scale with it or the
+        # unfit rate explodes past the hybrid's exact-XLA fallback budget
+        # (silently tap-truncated features for the overflow boxes).
+        pool_kw = {}
+        if (self.roi_window_kernel and self.upsample_fac > 1.0
+                and not self.dis_upsampler):
+            w = 32 * int(-(-self.upsample_fac // 1))  # 32 * ceil(fac)
+            pool_kw = {"window": (w, w)}
         if self.roi_method == "roi_align":
             if need_cls:
                 pooled_cls = ml_pool(
                     ups, flat_rois, box_idx, (self.pool_size,) * 2,
-                    image_shape, level_idx=level_idx)
+                    image_shape, level_idx=level_idx, **pool_kw)
             if need_pooled_mask:
                 pooled_mask = ml_pool(
                     ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
-                    image_shape, level_idx=level_idx)
+                    image_shape, level_idx=level_idx, **pool_kw)
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(

@@ -208,6 +208,16 @@ def multilevel_roi_align_window(
     for f in features:
         assert f.shape[1] >= sy and f.shape[2] >= sx, (f.shape, window)
     assert sx % 8 == 0, "window width must be sublane-aligned"
+    assert n > 0, "window kernel needs >=1 box (callers route n==0 to XLA)"
+    # packed-word capacity (lvl 2b | batch 6b | x0//8 8b | y0 15b) — exceeding
+    # any field would silently wrap and DMA windows from the wrong image/offset
+    assert nlevels <= 4, nlevels
+    assert features[0].shape[0] <= 64, (
+        f"batch {features[0].shape[0]} > 64 overflows the 6-bit batch field")
+    for f in features:
+        assert (f.shape[2] - sx) // 8 < 256, (
+            f"level width {f.shape[2]} overflows the 8-bit x0//8 field")
+        assert f.shape[1] - sy < 2 ** 15, f.shape
     heights = jnp.array([d[0] for d in dims], jnp.int32)
     widths = jnp.array([d[1] for d in dims], jnp.int32)
 
@@ -224,11 +234,17 @@ def multilevel_roi_align_window(
         hi = jnp.clip(jnp.ceil(jnp.maximum(start, end)), 0, dim - 1.0)
         if align > 1:
             lo = jnp.floor(lo / align) * align
-        fits = hi - lo + 1.0 <= span
-        o = jnp.clip(lo, 0.0, dim - span).astype(jnp.int32)
+        # The DMA origin must satisfy o + span <= dim, so clip to dim - span
+        # (and re-align down: dim - span need not be a multiple of align).
+        # The fit test MUST use the final origin o, not lo — when dim is not
+        # a multiple of align the clip+realign can slide the window left of
+        # lo, and a test against lo would keep fits=True while right-edge
+        # taps fall outside the window (silently zeroed by the hat weights).
+        o = jnp.clip(lo, 0.0, dim - span)
         if align > 1:
-            o = (o // align) * align
-        return o, fits
+            o = jnp.floor(o / align) * align
+        fits = hi - o + 1.0 <= span
+        return o.astype(jnp.int32), fits
 
     y0, fit_y = origin_and_fit(ys, yt, ch, hf, float(sy))
     x0, fit_x = origin_and_fit(xs, xt, cw, wf, float(sx), align=8)
@@ -322,7 +338,10 @@ def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
             list(feats), boxes, box_indices, crop_size, (1, 1),
             level_idx=level_idx)
 
-    _, vjp = jax.vjp(ref_fn, tuple(features))
+    # linear_transpose, not jax.vjp: pooling is linear in the features for
+    # fixed boxes, so the backward needs only the transposed scatter-add —
+    # vjp would trace a full primal gather forward just to linearize it
+    vjp = jax.linear_transpose(ref_fn, tuple(features))
     (d_feats,) = vjp(g.astype(jnp.float32))
     # boxes/box_indices/level_idx are non-differentiable (parity: the
     # reference's CropAndResizeFunction never backprops into box coords)
@@ -356,7 +375,12 @@ def multilevel_crop_and_resize_window(
     if level_idx is None:
         level_idx = assign_fpn_level(boxes, image_shape, base=assign_base) - 2
     sy, sx = window
-    if any(f.shape[1] < sy or f.shape[2] < sx for f in features):
+    if (boxes.shape[0] == 0
+            or len(features) > 4
+            or features[0].shape[0] > 64          # 6-bit batch field
+            or any(f.shape[1] < sy or f.shape[2] < sx for f in features)
+            or any((f.shape[2] - sx) // 8 >= 256  # 8-bit x0//8 field
+                   or f.shape[1] - sy >= 2 ** 15 for f in features)):
         return multilevel_crop_and_resize(
             list(features), boxes, box_indices, crop_size, image_shape,
             level_idx=level_idx)

@@ -127,6 +127,85 @@ def test_hybrid_gradient_matches_xla_path(rng):
                                    rtol=0, atol=1e-4)
 
 
+def test_fit_test_uses_realigned_origin(rng):
+    """Regression: on levels whose width is not a multiple of 8 (image sizes
+    that are multiples of 64 but not 256, e.g. 1088 -> P5 34 wide), clipping
+    the x-origin to dim-span and re-aligning it down slides the window LEFT
+    of the span the fit test validated. The fit test must use the final
+    origin, or right-edge taps are silently zeroed while fits stays True."""
+    feats = [jnp.asarray(rng.randn(1, s, s, 16), jnp.float32)
+             for s in (68, 34, 34, 34)]
+    # P5 (34 wide): sample cells [27..33]; aligned lo=24, but the origin
+    # clips to 34-32=2 then re-aligns to 0 -> taps 32,33 fall outside
+    edge = jnp.asarray([[0.3, 27.0 / 33.0, 0.5, 1.0]], jnp.float32)
+    boxes = jnp.tile(edge, (8, 1))
+    bidx = jnp.zeros(8, jnp.int32)
+    lvl = jnp.full((8,), 3, jnp.int32)
+    _, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 32), box_tile=8,
+        interpret=True)
+    assert not np.asarray(fits).any()
+    # and the hybrid therefore routes them through the exact XLA path
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (1088, 1088), level_idx=lvl)
+    got = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (1088, 1088), level_idx=lvl,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_packed_field_guards_fall_back(rng):
+    """batch > 64 overflows the 6-bit batch field of the packed scalar
+    word; the wrapper must route such shapes to the exact XLA path (same
+    for n == 0, which the kernel cannot tile)."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    feats = [jnp.asarray(rng.randn(65, 32, 32, 8), jnp.float32)
+             for _ in range(4)]
+    boxes, bidx, lvl = _boxes(rng, 12, b=65)
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (256, 256), level_idx=lvl)
+    got = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (256, 256), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
+                               atol=0)
+    empty = multilevel_crop_and_resize_window(
+        feats, boxes[:0], bidx[:0], (7, 7), (256, 256), level_idx=lvl[:0])
+    assert empty.shape == (0, 7, 7, 8)
+
+
+def test_upsampled_maps_need_scaled_window(rng):
+    """The dev path pools from upsample_fac-x maps, doubling every box's
+    cell span: boxes that fit a 32-window on the base maps overflow it on
+    2x maps, but fit (and match XLA exactly) with a fac-scaled 64-window —
+    the scaling models/intertwiner.py applies when roi_window_kernel is on."""
+    base = [jnp.asarray(rng.randn(1, s, s, 16), jnp.float32)
+            for s in (64, 32, 32, 32)]
+    ups = [jax.image.resize(f, (1, f.shape[1] * 2, f.shape[2] * 2, 16),
+                            "bilinear") for f in base]
+    # spans of ~20 cells on P2 (64 wide): fit 32 on base, 40 > 32 on 2x maps
+    yx = rng.rand(16, 2) * 0.6
+    boxes = jnp.asarray(np.concatenate([yx, yx + 0.32], 1), np.float32)
+    bidx = jnp.zeros(16, jnp.int32)
+    lvl = jnp.zeros(16, jnp.int32)
+    _, fits32 = multilevel_roi_align_window(
+        ups, boxes, bidx, lvl, (14, 14), window=(32, 32), box_tile=16,
+        interpret=True)
+    assert not np.asarray(fits32).any()
+    got, fits64 = multilevel_roi_align_window(
+        ups, boxes, bidx, lvl, (14, 14), window=(64, 64), box_tile=16,
+        interpret=True)
+    assert np.asarray(fits64).all()
+    ref = multilevel_crop_and_resize(ups, boxes, bidx, (14, 14),
+                                     (512, 512), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
 def test_hybrid_small_map_guard_falls_back(rng):
     from feature_intertwiner_tpu.ops.roi_align_window import (
         multilevel_crop_and_resize_window)
