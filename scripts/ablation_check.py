@@ -216,6 +216,17 @@ def print_table(results):
         print(f"\n=== Held-out ablation [{label}] "
               f"(mean over seeds {seeds}) ===")
         base_by_seed = {}
+        if not any(v.startswith("baseline") for v in variants):
+            # tagged sub-regime (e.g. _ft_pc_id) with no baseline arm of its
+            # own: pair against the parent regime's baseline (suffix minus
+            # the trailing tag) so mitigation arms still print paired deltas
+            parent = suffix.rsplit("_", 1)[0]
+            pb = {s: by[(v, s)] for v, s in by
+                  if v.startswith("baseline") and regime(v) == parent}
+            if pb:
+                base_by_seed = pb
+                print(f"(paired vs baseline{parent} — the parent regime's "
+                      "baseline arm)")
         for v in variants:
             rows = [by[(v, s)] for s in seeds if (v, s) in by]
             if not rows:
