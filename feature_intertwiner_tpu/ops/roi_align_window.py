@@ -271,7 +271,7 @@ def multilevel_roi_align_window(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_pad // bt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nlevels,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nlevels,
         out_specs=pl.BlockSpec((bt, ru, c), lambda ti, *_: (ti, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
