@@ -97,6 +97,7 @@ class InterNet(nn.Module):
     # tpu
     remat_backbone: bool = False
     roi_window_kernel: bool = False
+    roi_window: int = 32
     dtype: Any = jnp.float32
 
     @classmethod
@@ -150,6 +151,7 @@ class InterNet(nn.Module):
             fpn_ot_loss=cfg.TRAIN.FPN_OT_LOSS,
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
             roi_window_kernel=bool(cfg.TPU.ROI_WINDOW_KERNEL),
+            roi_window=int(cfg.TPU.get("ROI_WINDOW_SIZE", 32)),
             strict_quirks=bool(cfg.MODEL.STRICT_QUIRKS),
             dtype=dtype,
         )
@@ -195,6 +197,7 @@ class InterNet(nn.Module):
             big_feat_detach=self.dev_big_feat_detach,
             assign_all_scale=self.dev_assign_all_scale,
             roi_window_kernel=self.roi_window_kernel,
+            roi_window=self.roi_window,
             dtype=self.dtype,
             name="dev",
         )

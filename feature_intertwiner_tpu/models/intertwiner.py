@@ -46,7 +46,10 @@ from ..ops.roi_align import (
     crop_and_resize,
     multilevel_crop_and_resize,
 )
-from ..ops.roi_align_window import multilevel_crop_and_resize_window
+from ..ops.roi_align_window import (
+    hybrid_unfit_overflow,
+    multilevel_crop_and_resize_window,
+)
 from ..ops.roi_pool import make_roi_pool_input, roi_pool
 from .common import BN, conv, dense
 
@@ -204,7 +207,28 @@ class Dev(nn.Module):
     # TPU.ROI_WINDOW_KERNEL: window-DMA Pallas multilevel pooling
     # (ops/roi_align_window.py, 1.26-1.62x on v5e; hybrid-exact fallback)
     roi_window_kernel: bool = False
+    # TPU.ROI_WINDOW_SIZE: static DMA window side (cells). Must be a
+    # multiple of 8 (sublane alignment); every pyramid map must be at
+    # least this big or the wrapper falls back to pure XLA entirely.
+    roi_window: int = 32
     dtype: Any = jnp.float32
+
+    def _sow_unfit_overflow(self, feats, flat_rois, level_idx, crops,
+                            window=(32, 32)):
+        """Surface the window-hybrid's silent-degradation counter
+        (ops/roi_align_window.py::hybrid_unfit_overflow) into the
+        'diagnostics' collection — harvested by train/step.py and
+        test_model into metrics.jsonl (VERDICT r3 #3). No-op unless the
+        window kernel is on and 'diagnostics' is mutable."""
+        if not self.roi_window_kernel or self.is_initializing():
+            return
+        ov = jnp.zeros((), jnp.int32)
+        for crop in crops:
+            ov = ov + hybrid_unfit_overflow(
+                feats, flat_rois, level_idx, (crop, crop), window)
+        self.sow("diagnostics", "roi_unfit_overflow", ov,
+                 init_fn=lambda: jnp.zeros((), jnp.int32),
+                 reduce_fn=lambda a, b: a + b)
 
     def _last_op(self, x: jax.Array) -> jax.Array:
         if self.loss_choice in ("l1", "l2"):
@@ -283,14 +307,25 @@ class Dev(nn.Module):
 
         ml_pool = (multilevel_crop_and_resize_window if self.roi_window_kernel
                    else multilevel_crop_and_resize)
+        base_kw = ({"window": (self.roi_window,) * 2}
+                   if self.roi_window_kernel else {})
 
         if not self.use_dev:
             pooled_cls = ml_pool(
                 feats, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
-                assign_base=self.assign_base) if need_cls else None
+                assign_base=self.assign_base,
+                **base_kw) if need_cls else None
             pooled_mask = ml_pool(
                 feats, flat_rois, box_idx, (self.mask_pool_size,) * 2,
-                image_shape, assign_base=self.assign_base) if need_mask else None
+                image_shape, assign_base=self.assign_base,
+                **base_kw) if need_mask else None
+            self._sow_unfit_overflow(
+                feats, flat_rois,
+                assign_fpn_level(flat_rois, image_shape,
+                                 base=self.assign_base) - 2,
+                ([self.pool_size] if need_cls else [])
+                + ([self.mask_pool_size] if need_mask else []),
+                window=(self.roi_window,) * 2)
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -322,10 +357,10 @@ class Dev(nn.Module):
         # the window-DMA kernel's static window must scale with it or the
         # unfit rate explodes past the hybrid's exact-XLA fallback budget
         # (silently tap-truncated features for the overflow boxes).
-        pool_kw = {}
+        pool_kw = dict(base_kw)
         if (self.roi_window_kernel and self.upsample_fac > 1.0
                 and not self.dis_upsampler):
-            w = 32 * int(-(-self.upsample_fac // 1))  # 32 * ceil(fac)
+            w = self.roi_window * int(-(-self.upsample_fac // 1))  # × ceil(fac)
             pool_kw = {"window": (w, w)}
         if self.roi_method == "roi_align":
             if need_cls:
@@ -336,6 +371,11 @@ class Dev(nn.Module):
                 pooled_mask = ml_pool(
                     ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
                     image_shape, level_idx=level_idx, **pool_kw)
+            self._sow_unfit_overflow(
+                ups, flat_rois, level_idx,
+                ([self.pool_size] if need_cls else [])
+                + ([self.mask_pool_size] if need_pooled_mask else []),
+                window=pool_kw.get("window", (32, 32)))
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(

@@ -180,6 +180,43 @@ def _grid_params(boxes, level_idx, heights, widths, crop, axis):
     return start, step, dim
 
 
+def window_origins_and_fits(boxes, level_idx, heights, widths, crop_size,
+                            window):
+    """Per-box DMA window origin + fit test — pure box math, no feature
+    reads, so callers can also use it standalone as a cheap overflow
+    diagnostic (VERDICT r3 #3). Returns (y0 [N] i32, x0 [N] i32, fits [N])."""
+    ch, cw = crop_size
+    sy, sx = window
+    ys, yt, hf = _grid_params(boxes, level_idx, heights, widths, ch, axis=0)
+    xs, xt, wf = _grid_params(boxes, level_idx, heights, widths, cw, axis=1)
+
+    def origin_and_fit(start, step, crop, dim, span, align=1):
+        # align: Mosaic requires dynamic HBM slice starts in the lane-tiled
+        # W dimension to be divisible by the 8-wide sublane tile; y starts
+        # are unconstrained. Aligning down costs up to align-1 cells of the
+        # window's usable span (folded into the fit test).
+        end = start + step * (crop - 1)
+        lo = jnp.clip(jnp.floor(jnp.minimum(start, end)), 0, dim - 1.0)
+        hi = jnp.clip(jnp.ceil(jnp.maximum(start, end)), 0, dim - 1.0)
+        if align > 1:
+            lo = jnp.floor(lo / align) * align
+        # The DMA origin must satisfy o + span <= dim, so clip to dim - span
+        # (and re-align down: dim - span need not be a multiple of align).
+        # The fit test MUST use the final origin o, not lo — when dim is not
+        # a multiple of align the clip+realign can slide the window left of
+        # lo, and a test against lo would keep fits=True while right-edge
+        # taps fall outside the window (silently zeroed by the hat weights).
+        o = jnp.clip(lo, 0.0, dim - span)
+        if align > 1:
+            o = jnp.floor(o / align) * align
+        fits = hi - o + 1.0 <= span
+        return o.astype(jnp.int32), fits
+
+    y0, fit_y = origin_and_fit(ys, yt, ch, hf, float(sy))
+    x0, fit_x = origin_and_fit(xs, xt, cw, wf, float(sx), align=8)
+    return y0, x0, fit_y & fit_x
+
+
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "window", "box_tile", "interpret"))
 def multilevel_roi_align_window(
@@ -221,34 +258,8 @@ def multilevel_roi_align_window(
     heights = jnp.array([d[0] for d in dims], jnp.int32)
     widths = jnp.array([d[1] for d in dims], jnp.int32)
 
-    ys, yt, hf = _grid_params(boxes, level_idx, heights, widths, ch, axis=0)
-    xs, xt, wf = _grid_params(boxes, level_idx, heights, widths, cw, axis=1)
-
-    def origin_and_fit(start, step, crop, dim, span, align=1):
-        # align: Mosaic requires dynamic HBM slice starts in the lane-tiled
-        # W dimension to be divisible by the 8-wide sublane tile; y starts
-        # are unconstrained. Aligning down costs up to align-1 cells of the
-        # window's usable span (folded into the fit test).
-        end = start + step * (crop - 1)
-        lo = jnp.clip(jnp.floor(jnp.minimum(start, end)), 0, dim - 1.0)
-        hi = jnp.clip(jnp.ceil(jnp.maximum(start, end)), 0, dim - 1.0)
-        if align > 1:
-            lo = jnp.floor(lo / align) * align
-        # The DMA origin must satisfy o + span <= dim, so clip to dim - span
-        # (and re-align down: dim - span need not be a multiple of align).
-        # The fit test MUST use the final origin o, not lo — when dim is not
-        # a multiple of align the clip+realign can slide the window left of
-        # lo, and a test against lo would keep fits=True while right-edge
-        # taps fall outside the window (silently zeroed by the hat weights).
-        o = jnp.clip(lo, 0.0, dim - span)
-        if align > 1:
-            o = jnp.floor(o / align) * align
-        fits = hi - o + 1.0 <= span
-        return o.astype(jnp.int32), fits
-
-    y0, fit_y = origin_and_fit(ys, yt, ch, hf, float(sy))
-    x0, fit_x = origin_and_fit(xs, xt, cw, wf, float(sx), align=8)
-    fits = fit_y & fit_x
+    y0, x0, fits = window_origins_and_fits(
+        boxes, level_idx, heights, widths, crop_size, window)
 
     bt = min(box_tile, n)
     n_pad = _pad_up(n, bt)
@@ -352,6 +363,49 @@ def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
 _window_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
+def _window_path_active(features, window):
+    """True when multilevel_crop_and_resize_window would actually run the
+    hybrid kernel (same guards, kept adjacent so they cannot drift)."""
+    sy, sx = window
+    return not (
+        len(features) > 4
+        or features[0].shape[0] > 64              # 6-bit batch field
+        or any(f.shape[1] < sy or f.shape[2] < sx for f in features)
+        or any((f.shape[2] - sx) // 8 >= 256      # 8-bit x0//8 field
+               or f.shape[1] - sy >= 2 ** 15 for f in features))
+
+
+def hybrid_unfit_overflow(
+    features: Sequence[jax.Array],
+    boxes: jax.Array,
+    level_idx: jax.Array,
+    crop_size: Tuple[int, int],
+    window: Tuple[int, int] = (32, 32),
+) -> jax.Array:
+    """Count of boxes whose values the hybrid silently tap-truncates.
+
+    The hybrid routes the ``fallback_k`` most-unfit boxes through the exact
+    XLA path; any unfit boxes beyond that budget keep window values with
+    out-of-window taps dropped (docstring above). This counter —
+    ``max(0, n_unfit - fallback_k)``, int32 scalar, 0 when the wrapper
+    would route entirely to XLA — is the silent-degradation signal VERDICT
+    r3 #3 asks to surface in metrics: production shapes must keep it 0.
+
+    Pure box math (window_origins_and_fits) — costs nothing next to the
+    pooling itself."""
+    n = boxes.shape[0]
+    if n == 0 or not _window_path_active(features, window):
+        return jnp.zeros((), jnp.int32)
+    heights = jnp.array([f.shape[1] for f in features], jnp.int32)
+    widths = jnp.array([f.shape[2] for f in features], jnp.int32)
+    _, _, fits = window_origins_and_fits(
+        boxes, level_idx.astype(jnp.int32), heights, widths,
+        tuple(crop_size), tuple(window))
+    fallback_k = min(n, max(8, n // 16))
+    n_unfit = jnp.sum((~fits).astype(jnp.int32))
+    return jnp.maximum(0, n_unfit - fallback_k)
+
+
 def multilevel_crop_and_resize_window(
     features: Sequence[jax.Array],
     boxes: jax.Array,
@@ -375,12 +429,7 @@ def multilevel_crop_and_resize_window(
     if level_idx is None:
         level_idx = assign_fpn_level(boxes, image_shape, base=assign_base) - 2
     sy, sx = window
-    if (boxes.shape[0] == 0
-            or len(features) > 4
-            or features[0].shape[0] > 64          # 6-bit batch field
-            or any(f.shape[1] < sy or f.shape[2] < sx for f in features)
-            or any((f.shape[2] - sx) // 8 >= 256  # 8-bit x0//8 field
-                   or f.shape[1] - sy >= 2 ** 15 for f in features)):
+    if boxes.shape[0] == 0 or not _window_path_active(features, window):
         return multilevel_crop_and_resize(
             list(features), boxes, box_indices, crop_size, image_shape,
             level_idx=level_idx)

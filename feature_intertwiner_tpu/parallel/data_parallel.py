@@ -70,17 +70,25 @@ def make_parallel_train_step(model, cfg, layers: str, mesh: Mesh):
 
 def make_parallel_eval_step(model, mesh: Mesh, mode: str = "inference",
                             with_masks: bool = True):
-    """Jitted SPMD inference step: batch sharded, outputs sharded."""
+    """Jitted SPMD inference step: batch sharded, outputs sharded.
+
+    Returns (outputs, roi_unfit_overflow): the window-RoIAlign degradation
+    counter is psum'd over the data axis (replicated scalar) so callers see
+    the whole batch's count, matching the single-device closure."""
+    from ..train.step import sum_diagnostics
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P("data"), P("data")),
-        out_specs=P("data"),
+        out_specs=(P("data"), P()),
         check_vma=False,
     )
     def sharded_eval(variables, images, windows):
         kw = {"with_masks": with_masks} if mode == "inference" else {}
-        return model.apply(variables, images, mode=mode, windows=windows,
-                           **kw)
+        out, mutated = model.apply(variables, images, mode=mode,
+                                   windows=windows, mutable=["diagnostics"],
+                                   **kw)
+        overflow = sum_diagnostics(mutated, "roi_unfit_overflow")
+        return out, jax.lax.psum(overflow, "data")
 
     return jax.jit(sharded_eval)

@@ -68,6 +68,19 @@ def create_train_state(cfg, variables) -> TrainState:
     )
 
 
+def sum_diagnostics(mutated, name: str) -> jnp.ndarray:
+    """Sum every 'diagnostics'-collection leaf called ``name`` (float32
+    scalar; 0 when the collection is absent/empty). The counters are sown
+    per-module (models/intertwiner.py::_sow_unfit_overflow), so a forward
+    with several Dev calls yields several leaves."""
+    diag = (mutated or {}).get("diagnostics", {})
+    total = jnp.zeros((), jnp.float32)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(diag)[0]:
+        if any(getattr(k, "key", None) == name for k in path):
+            total = total + jnp.asarray(leaf, jnp.float32)
+    return total
+
+
 def _merge_stats(feat, cnt, axis_name: Optional[str]):
     """Merge [S, D, K] stats over scales (and devices): weighted mean.
 
@@ -252,6 +265,9 @@ def make_train_step(model, cfg, layers: str = "all",
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             new_stats = state.batch_stats
+            # 'diagnostics' carries the window-RoIAlign unfit-overflow
+            # counter (models/intertwiner.py::_sow_unfit_overflow) —
+            # surfaced into metrics so silent tap-truncation is visible
             if bn_learn:
                 # BN learns batch statistics (TRAIN.BN_LEARN — the capability
                 # the reference gates at utils.py:478-481; its default quirk
@@ -261,14 +277,15 @@ def make_train_step(model, cfg, layers: str = "all",
                     gt_class_ids=batch["gt_class_ids"],
                     gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
                     rngs={"sampling": rng}, train_bn=True,
-                    mutable=["batch_stats"])
+                    mutable=["batch_stats", "diagnostics"])
                 new_stats = mutated["batch_stats"]
             else:
-                out = model.apply(
+                out, mutated = model.apply(
                     variables, batch["images"], mode="train",
                     gt_class_ids=batch["gt_class_ids"],
                     gt_boxes=batch["gt_boxes"], gt_masks=batch["gt_masks"],
-                    rngs={"sampling": rng})
+                    rngs={"sampling": rng}, mutable=["diagnostics"])
+            roi_overflow = sum_diagnostics(mutated, "roi_unfit_overflow")
 
             detailed = {
                 k: out[k] for k in (
@@ -309,7 +326,8 @@ def make_train_step(model, cfg, layers: str = "all",
             total = total + fpn_ot_fac * fpn_ot
 
             metrics = dict(detailed, total_loss=total, meta_loss=meta,
-                           big_loss=big_loss, fpn_ot_loss=fpn_ot)
+                           big_loss=big_loss, fpn_ot_loss=fpn_ot,
+                           roi_unfit_overflow=roi_overflow)
             return total, (metrics, new_buf, new_cnt, new_stats)
 
         grads, (metrics, new_buf, new_cnt, new_stats) = jax.grad(

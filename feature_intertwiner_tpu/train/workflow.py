@@ -403,7 +403,11 @@ def fuse_multiscale(per_scale, max_instances, thresh):
 def _make_eval_infer(model, eval_masks, mesh):
     """One jitted inference closure: sharded over the data mesh when given
     (the reference evals through nn.DataParallel the same way,
-    workflow.py:380), plain jit otherwise."""
+    workflow.py:380), plain jit otherwise.
+
+    The returned dict carries 'roi_unfit_overflow' — the window-RoIAlign
+    silent-degradation counter (models/intertwiner.py::_sow_unfit_overflow),
+    0 whenever the window kernel is off or every box fit its DMA window."""
     if mesh is not None:
         from ..parallel import make_parallel_eval_step, shard_batch
         eval_step = make_parallel_eval_step(model, mesh,
@@ -411,18 +415,24 @@ def _make_eval_infer(model, eval_masks, mesh):
 
         def infer(v, im, win):
             sharded = shard_batch({"im": im, "win": win}, mesh)
-            return eval_step(v, sharded["im"], sharded["win"])
+            out, overflow = eval_step(v, sharded["im"], sharded["win"])
+            return dict(out, roi_unfit_overflow=overflow)
         return infer
+
+    from .step import sum_diagnostics
 
     @jax.jit
     def infer(v, im, win):
-        return model.apply(v, im, mode="inference", windows=win,
-                           with_masks=eval_masks)
+        out, mutated = model.apply(v, im, mode="inference", windows=win,
+                                   with_masks=eval_masks,
+                                   mutable=["diagnostics"])
+        return dict(out, roi_unfit_overflow=sum_diagnostics(
+            mutated, "roi_unfit_overflow"))
     return infer
 
 
 def _detect_stream(model, variables, cfg, val_dataset, image_ids,
-                   eval_masks, forms, combine, mesh=None):
+                   eval_masks, forms, combine, mesh=None, diag=None):
     """Shared chunked-eval pipeline behind both detection streams.
 
     ``forms`` is a list of (infer_fn, min_dim, max_dim) inference forms, all
@@ -475,6 +485,10 @@ def _detect_stream(model, variables, cfg, val_dataset, image_ids,
         per_image = {int(i): [] for i in chunk}
         for (_, windows), dev_out in zip(molds, dev_outs):
             out = jax.device_get(dev_out)
+            if diag is not None:
+                diag["roi_unfit_overflow"] = (
+                    diag.get("roi_unfit_overflow", 0.0)
+                    + float(out.get("roi_unfit_overflow", 0.0)))
             dets = np.asarray(out["detections"], np.float32)
             masks = (np.asarray(out["masks"], np.float32)
                      if eval_masks else None)
@@ -509,17 +523,18 @@ def _detect_stream(model, variables, cfg, val_dataset, image_ids,
 
 
 def _detect_images(model, variables, cfg, val_dataset, image_ids,
-                   eval_masks, min_dim=None, max_dim=None, mesh=None):
+                   eval_masks, min_dim=None, max_dim=None, mesh=None,
+                   diag=None):
     """Chunked jitted inference at one scale (detections pass through
     unchanged — no cross-form fusion)."""
     forms = [(_make_eval_infer(model, eval_masks, mesh), min_dim, max_dim)]
     yield from _detect_stream(model, variables, cfg, val_dataset, image_ids,
                               eval_masks, forms, combine=lambda per: per[0],
-                              mesh=mesh)
+                              mesh=mesh, diag=diag)
 
 
 def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
-                              eval_masks, scales, mesh=None):
+                              eval_masks, scales, mesh=None, diag=None):
     """Multi-scale inference that decodes each image ONCE.
 
     Chunk-major: for every image chunk, all test scales are molded from the
@@ -536,7 +551,8 @@ def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
                                cfg.TEST.MULTI_SCALE_NMS_THRESHOLD)
 
     yield from _detect_stream(model, variables, cfg, val_dataset, image_ids,
-                              eval_masks, forms, combine=combine, mesh=mesh)
+                              eval_masks, forms, combine=combine, mesh=mesh,
+                              diag=diag)
 
 
 def test_model(model, variables, cfg, val_dataset, coco_api,
@@ -577,15 +593,20 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
     else:
         t0 = time.time()
         scales = [int(s) for s in (cfg.TEST.MULTI_SCALE or [])]
+        # window-RoIAlign silent-degradation counter, accumulated over the
+        # whole eval (VERDICT r3 #3): >0 means some boxes' pooled values
+        # were tap-truncated beyond the hybrid's exact-fallback budget
+        diag = {}
         if scales:
             # multi-scale testing: all scales molded from one decode per
             # image, fused per image with cross-scale per-class NMS
             det_stream = _detect_images_multiscale(
                 model, variables, cfg, val_dataset, image_ids, eval_masks,
-                scales, mesh=mesh)
+                scales, mesh=mesh, diag=diag)
         else:
             det_stream = _detect_images(model, variables, cfg, val_dataset,
-                                        image_ids, eval_masks, mesh=mesh)
+                                        image_ids, eval_masks, mesh=mesh,
+                                        diag=diag)
 
         results = []
         for img_idx, image, boxes, class_ids, scores, full_masks in det_stream:
@@ -617,6 +638,17 @@ def test_model(model, variables, cfg, val_dataset, coco_api,
         print_log(
             f"prediction time: {dt:.2f}s "
             f"({dt / max(len(image_ids), 1):.3f} s/im)", log_file)
+        overflow = diag.get("roi_unfit_overflow", 0.0)
+        if overflow > 0:
+            print_log(
+                f"WARNING: roi_unfit_overflow={overflow:.0f} — "
+                f"{overflow:.0f} box-poolings exceeded the window-RoIAlign "
+                "exact-fallback budget and were tap-truncated (raise "
+                "TPU.ROI_WINDOW_SIZE or disable TPU.ROI_WINDOW_KERNEL)",
+                log_file)
+        MetricsLogger(os.path.join(folder, "metrics.jsonl")).log(
+            eval_epoch=epoch, n_images=len(image_ids),
+            roi_unfit_overflow=overflow)
         with open(cache, "w") as f:
             json.dump(results, f)
 

@@ -99,7 +99,7 @@ def window_dma_checksum(img, origins, sy, sx, bt=128, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // bt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((bt, c), lambda ti, _: (ti, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -62,10 +62,11 @@ class TestSeedsToResolve:
         assert isinstance(out, str) and out.startswith(">")
 
     def test_matches_normal_approx_formula(self):
-        d = np.array([0.009, 0.068, -0.050])  # mean ~0.009, sd ~0.059
-        n = _seeds_to_resolve(d)
-        m, s = np.mean(d), np.std(d, ddof=1)
-        assert n == int(np.ceil((1.96 * s / m) ** 2))
+        # mean 0.009, sd 0.0590 -> ceil((1.96*0.0590/0.009)^2) = 166,
+        # precomputed by hand so the test cannot share the implementation's
+        # formula (ADVICE r3)
+        d = np.array([0.009, 0.068, -0.050])
+        assert _seeds_to_resolve(d) == 166
 
     def test_strong_effect_needs_few_seeds(self):
         d = np.array([-0.066, -0.069, -0.057])

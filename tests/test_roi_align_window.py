@@ -220,3 +220,110 @@ def test_hybrid_small_map_guard_falls_back(rng):
         feats, boxes, bidx, (7, 7), (160, 160), level_idx=lvl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
                                atol=0)
+
+
+# ---------------------------------------------------------------------------
+# unfit-overflow counter (VERDICT r3 #3: the hybrid's silent-degradation
+# channel must be instrumented, and production shapes must keep it at zero)
+# ---------------------------------------------------------------------------
+class TestUnfitOverflow:
+    def test_zero_when_all_boxes_fit(self, rng):
+        from feature_intertwiner_tpu.ops.roi_align_window import (
+            hybrid_unfit_overflow)
+        feats = _pyramid(rng)
+        boxes, _, lvl = _boxes(rng, 96)
+        ov = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 32))
+        assert int(ov) == 0
+
+    def test_counts_unfit_beyond_fallback_budget(self, rng):
+        from feature_intertwiner_tpu.ops.roi_align_window import (
+            hybrid_unfit_overflow)
+        feats = _pyramid(rng)
+        # 200 full-image boxes forced onto P2: every sample grid spans 64
+        # cells > the 32 window, fallback_k = max(8, 200//16) = 12
+        boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+                         (200, 1))
+        lvl = jnp.zeros(200, jnp.int32)
+        ov = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 32))
+        assert int(ov) == 200 - 12
+
+    def test_zero_when_wrapper_routes_to_xla(self, rng):
+        # guard parity: maps smaller than the window make the production
+        # wrapper fall back to the exact XLA path entirely, so no value is
+        # ever tap-truncated and the counter must agree
+        from feature_intertwiner_tpu.ops.roi_align_window import (
+            hybrid_unfit_overflow)
+        feats = [jnp.zeros((1, s, s, 8)) for s in (16, 8, 4, 4)]
+        boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+                         (64, 1))
+        lvl = jnp.zeros(64, jnp.int32)
+        ov = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 32))
+        assert int(ov) == 0
+
+    @staticmethod
+    def _boxes_with_aspect(rng, n, img, ratio_max):
+        """sqrt-area log-uniform over [8px, img], aspect log-uniform up to
+        ratio_max — a geometry sweep wider than anchors (ratio<=2) emit."""
+        sa = np.exp(rng.uniform(np.log(8 / img), 0.0, n))
+        r = np.exp(rng.uniform(-np.log(ratio_max), np.log(ratio_max), n))
+        h = np.minimum(sa * np.sqrt(r), 1.0)
+        w = np.minimum(sa / np.sqrt(r), 1.0)
+        yx = rng.rand(n, 2) * np.stack([1 - h, 1 - w], 1)
+        return jnp.asarray(np.concatenate(
+            [yx, yx + np.stack([h, w], 1)], 1).astype(np.float32))
+
+    def test_production_shapes_stay_at_zero(self, rng):
+        """The flagship regime (1024² maps, eqn-1 level assignment, the
+        window scaling models/intertwiner.py applies for UPSAMPLE_FAC=2)
+        keeps the counter at 0 across production-like geometry: eqn-1
+        ASSIGNS levels by box size, so a box's span in its own level's
+        cells is bounded by its aspect ratio — with aspect <= 4 (double the
+        widest anchor) the unfit rate measures <=6%, inside the hybrid's
+        n/16 exact-fallback budget."""
+        from feature_intertwiner_tpu.ops.roi_align_window import (
+            hybrid_unfit_overflow)
+        img = 1024
+        boxes = self._boxes_with_aspect(rng, 2048, img, ratio_max=4.0)
+        lvl = jnp.clip(assign_fpn_level(boxes, (img, img)) - 2, 0, 3)
+        for fac, window in ((1.0, 32), (2.0, 64)):
+            sizes = [int(img // s * fac) for s in (4, 8, 16, 32)]
+            feats = [jnp.zeros((1, s, s, 4)) for s in sizes]
+            for crop in (7, 14):
+                ov = hybrid_unfit_overflow(
+                    feats, boxes, lvl, (crop, crop), (window, window))
+                assert int(ov) == 0, (fac, crop, int(ov))
+
+    def test_counter_fires_on_distribution_shift(self, rng):
+        """The silent-degradation scenario VERDICT r3 #3 names: a geometry
+        shift (here extreme aspect ratios, which eqn-1 assignment cannot
+        bound) pushes the unfit count past the exact-fallback budget — the
+        counter must go POSITIVE, not stay silently at zero."""
+        from feature_intertwiner_tpu.ops.roi_align_window import (
+            hybrid_unfit_overflow)
+        img = 1024
+        boxes = self._boxes_with_aspect(rng, 2048, img, ratio_max=64.0)
+        lvl = jnp.clip(assign_fpn_level(boxes, (img, img)) - 2, 0, 3)
+        feats = [jnp.zeros((1, img // s, img // s, 4))
+                 for s in (4, 8, 16, 32)]
+        ov = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 32))
+        assert int(ov) > 0
+
+    def test_dev_module_sows_diagnostics(self, rng):
+        """Dev surfaces the counter via the 'diagnostics' collection when
+        the window kernel is on (harvested into metrics by train/step.py
+        and test_model)."""
+        from feature_intertwiner_tpu.models.intertwiner import Dev
+        feats = [jnp.asarray(rng.randn(1, s, s, 32), jnp.float32)
+                 for s in (64, 32, 16, 8)]
+        rois = jnp.asarray(rng.rand(1, 16, 4).astype(np.float32) * 0.3)
+        rois = rois.at[:, :, 2:].add(rois[:, :, :2] + 0.05)
+        dev = Dev(num_classes=8, pool_size=7, mask_pool_size=14,
+                  feat_pool_size=14, image_size=256, use_dev=False,
+                  roi_window_kernel=True, roi_window=8)
+        vars_ = dev.init({"params": jax.random.PRNGKey(0)}, feats, rois)
+        (_, _, _), mutated = dev.apply(
+            vars_, feats, rois, mutable=["diagnostics"])
+        diag = mutated["diagnostics"]
+        leaves = jax.tree_util.tree_leaves(diag)
+        assert leaves, "no diagnostics sown"
+        assert int(leaves[0]) >= 0
