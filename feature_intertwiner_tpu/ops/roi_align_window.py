@@ -343,6 +343,45 @@ def _hybrid_fwd(features, boxes, box_indices, level_idx, crop_size, window,
 
 def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
     features, boxes, box_indices, level_idx = res
+    feat_shapes = tuple(tuple(f.shape) for f in features)
+
+    from .roi_align_window_bwd import (
+        bwd_kernel_supported, multilevel_roi_align_window_bwd)
+    if bwd_kernel_supported(feat_shapes, window):
+        # TPU-native backward (VERDICT r3 #4): strip-tiled Pallas
+        # accumulation instead of the XLA gather-transpose scatter-add.
+        # Mirror the forward's routing exactly — boxes whose forward value
+        # came from the exact-XLA fallback (idx ∩ ~fits, _hybrid_fwd_impl)
+        # backprop through the XLA transpose; everything else through the
+        # window-transpose kernel (for fit boxes the two are the same
+        # linear map; for tap-truncated boxes the kernel transposes the
+        # truncation the forward actually applied).
+        n = boxes.shape[0]
+        heights = jnp.array([s[1] for s in feat_shapes], jnp.int32)
+        widths = jnp.array([s[2] for s in feat_shapes], jnp.int32)
+        _, _, fits = window_origins_and_fits(
+            boxes, level_idx, heights, widths, crop_size, window)
+        k = min(n, fallback_k)
+        _, idx = lax.top_k((~fits).astype(jnp.float32), k)
+        took_xla = jnp.zeros((n,), bool).at[idx].set(~fits[idx])
+        g32 = g.astype(jnp.float32)
+        g_win = g32 * (~took_xla)[:, None, None, None]
+        d_feats = multilevel_roi_align_window_bwd(
+            g_win, boxes, box_indices, level_idx, feat_shapes, crop_size,
+            window, interpret=interpret)
+
+        def sub_fn(feats):
+            return multilevel_crop_and_resize(
+                list(feats), boxes[idx], box_indices[idx], crop_size,
+                (1, 1), level_idx=level_idx[idx])
+
+        g_xla = g32[idx] * (~fits)[idx][:, None, None, None]
+        (d_sub,) = jax.linear_transpose(sub_fn, tuple(features))(g_xla)
+        d_feats = [a + b.astype(jnp.float32)
+                   for a, b in zip(d_feats, d_sub)]
+        return (tuple(d.astype(f.dtype)
+                      for d, f in zip(d_feats, features)),
+                jnp.zeros_like(boxes), None, None)
 
     def ref_fn(feats):
         return multilevel_crop_and_resize(
