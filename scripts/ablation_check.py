@@ -270,6 +270,66 @@ def print_table(results):
                           + " ".join(pw))
 
 
+def markdown_tables(results):
+    """Emit the README 'Capability evidence' tables VERBATIM from the
+    tracked records (VERDICT r3 #1: every README evidence number must be
+    reproducible from the JSON by this tool — regenerate with
+    ``python scripts/ablation_check.py --markdown`` whenever a record
+    lands)."""
+    by = {}
+    for r in results:
+        by.setdefault(r["variant"], {})[r["seed"]] = r
+
+    def delta_cell(arm, base, col):
+        seeds = sorted(set(by.get(arm, {})) & set(by.get(base, {})))
+        d = np.array([by[arm][s][col] - by[base][s][col] for s in seeds])
+        if d.size == 0:
+            return "—", 0
+        if d.size == 1:
+            return f"{d[0]:+.3f} (n=1)", 1
+        cell = (f"{d.mean():+.3f} ± {d.std(ddof=1):.3f}, "
+                f"{(d > 0).sum()}/{d.size} seeds positive")
+        if d.size > 2:
+            lo, hi, p = _paired_bootstrap(d)
+            cell += f", CI [{lo:+.3f}, {hi:+.3f}], p≈{p:.2f}"
+        return cell, d.size
+
+    def ap_cell(arm):
+        rows = by.get(arm, {})
+        if not rows:
+            return "—"
+        m = float(np.mean([r["AP"] for r in rows.values()]))
+        return f"{m:.3f} (n={len(rows)})"
+
+    lines = ["<!-- generated by scripts/ablation_check.py --markdown -->"]
+    lines.append("")
+    lines.append("| variant (from scratch, paired-color) | AP over seeds "
+                 "| paired ΔAP vs same-seed baseline | paired ΔAP_medium |")
+    lines.append("|---|---|---|---|")
+    lines.append(f"| baseline (`DEV.SWITCH=False`) | {ap_cell('baseline_pc')}"
+                 " | — | — |")
+    for arm, label in (("l2_pc", "intertwiner `l2` (configs/105 recipe)"),
+                       ("ot_pc", "intertwiner `ot` (Sinkhorn meta loss)")):
+        dap, _ = delta_cell(arm, "baseline_pc", "AP")
+        dam, _ = delta_cell(arm, "baseline_pc", "AP_medium")
+        lines.append(f"| {label} | {ap_cell(arm)} | {dap} | {dam} |")
+    lines.append("")
+    lines.append("| warm-graft arm | AP over seeds | paired ΔAP vs "
+                 "same-seed baseline-ft |")
+    lines.append("|---|---|---|")
+    lines.append(f"| baseline-ft (`DEV.SWITCH=False`) | "
+                 f"{ap_cell('baseline_ft_pc')} | — |")
+    for arm, label in (
+            ("l2_ft_pc", "l2-ft, reference init"),
+            ("l2_ft_pc_id",
+             "l2-ft, `UPSAMPLE_INIT=identity` + `UPSAMPLE_RESIDUAL`"),
+            ("ot_ft_pc_id",
+             "ot-ft, `UPSAMPLE_INIT=identity` + `UPSAMPLE_RESIDUAL`")):
+        dap, _ = delta_cell(arm, "baseline_ft_pc", "AP")
+        lines.append(f"| {label} | {ap_cell(arm)} | {dap} |")
+    return "\n".join(lines)
+
+
 def _seeds_to_resolve(d, alpha_z=1.96, cap=10000):
     """Seeds needed for the mean-paired-delta 95% CI (normal approx,
     observed sd) to exclude zero — the tracked power analysis VERDICT r2 #2
@@ -337,6 +397,9 @@ def main():
                          "new regime (e.g. a longer schedule) does not "
                          "overwrite existing records")
     ap.add_argument("--table-only", action="store_true")
+    ap.add_argument("--markdown", action="store_true",
+                    help="print the README 'Capability evidence' tables "
+                         "generated verbatim from the tracked records")
     ap.add_argument("--in-process", action="store_true",
                     help="run all arms in this process (debug; leaks ~15 GB "
                          "host RSS per arm — the default forks per arm)")
@@ -344,9 +407,12 @@ def main():
 
     os.makedirs(ABLATION_DIR, exist_ok=True)
     results_file = os.path.join(ABLATION_DIR, "ablation_results.json")
-    if args.table_only:
+    if args.table_only or args.markdown:
         with open(results_file) as f:
-            print_table(json.load(f))
+            recs = json.load(f)
+        print(markdown_tables(recs) if args.markdown else "", end="")
+        if args.table_only:
+            print_table(recs)
         return
 
     schedule = [int(x) for x in args.schedule.split(",")]
