@@ -108,13 +108,23 @@ def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
 
     start_dma(0, 0)
 
-    # row/col index planes for the M matrix, shared across boxes
-    rr = lax.broadcasted_iota(jnp.int32, (ru, sy * sx), 0)
-    qq = lax.broadcasted_iota(jnp.int32, (ru, sy * sx), 1)
-    jj = (rr // cw).astype(jnp.float32)          # output row of the crop
-    kk = (rr % cw).astype(jnp.float32)           # output col of the crop
-    yy = (qq // sx).astype(jnp.float32)          # window row
-    xx = (qq % sx).astype(jnp.float32)           # window col
+    # Index planes for the SEPARABLE M build, shared across boxes. The
+    # bilinear matrix factors exactly: M[r,(y,x)] = my[y,r]·mx[x,r] with
+    # my = hat(py_r − y)·valid_y and mx likewise (hat and validity each
+    # depend on one axis only) — so the per-box VPU work is ~8 ops on two
+    # [S, RU] planes plus ONE outer-product multiply on [Sy·Sx, RU],
+    # instead of ~8 ops on the full M plane (~7x less VPU). Built in the
+    # TRANSPOSED [window, RU] orientation so the outer-product collapse
+    # [Sy, Sx, RU] -> [Sy·Sx, RU] merges LEADING dims (the lane dim stays
+    # intact — the same constraint the win collapse below satisfies).
+    jj = (lax.broadcasted_iota(jnp.int32, (sy, ru), 1)
+          // cw).astype(jnp.float32)             # output row of the crop
+    yy = lax.broadcasted_iota(                   # window row (int iota:
+        jnp.int32, (sy, ru), 0).astype(jnp.float32)  # tpu.iota is int-only)
+    kk = (lax.broadcasted_iota(jnp.int32, (sx, ru), 1)
+          % cw).astype(jnp.float32)              # output col of the crop
+    xx = lax.broadcasted_iota(
+        jnp.int32, (sx, ru), 0).astype(jnp.float32)  # window col
 
     def level_const(lvl, values):
         out = jnp.float32(values[-1])
@@ -156,10 +166,16 @@ def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xx))
         vy = (py + y0f >= 0.0) & (py + y0f <= hf - 1.0)
         vx = (px + x0f >= 0.0) & (px + x0f <= wf - 1.0)
-        m = jnp.where(vy & vx, wy * wx, 0.0)      # [RU, Sy·Sx]
+        my = jnp.where(vy, wy, 0.0)               # [Sy, RU]
+        mx = jnp.where(vx, wx, 0.0)               # [Sx, RU]
+        mt = (my[:, None, :] * mx[None, :, :]).reshape(sy * sx, ru)
 
         win = scratch[slot].reshape(sy * sx, c).astype(jnp.float32)
-        vals = jnp.dot(m, win, preferred_element_type=jnp.float32)
+        # out = Mᵀᵀ @ win — contraction over the shared leading (window)
+        # dim; Mosaic lowers the lhs-transposed matmul natively
+        vals = lax.dot_general(
+            mt, win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         out_ref[i, :, :] = vals.astype(out_ref.dtype)
         return 0
 

@@ -43,9 +43,12 @@ def timeit(name, fn, *args):
 
 
 def main():
+    use_window = os.environ.get("W", "1") != "0"  # window-DMA RoIAlign
     model = InterNet(backbone="resnet50", num_classes=81, image_size=SIZE,
                      dev_switch=True, dev_loss_choice="l2",
-                     dev_upsample_fac=1.0, dtype=jnp.bfloat16)
+                     dev_upsample_fac=1.0, roi_window_kernel=use_window,
+                     dtype=jnp.bfloat16)
+    print(f"roi_window_kernel={use_window}")
     rng = np.random.RandomState(0)
     images = jnp.array(rng.randn(BATCH, SIZE, SIZE, 3).astype(np.float32))
     windows = jnp.tile(jnp.array([[0., 0., SIZE, SIZE]], jnp.float32),

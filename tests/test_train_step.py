@@ -306,3 +306,20 @@ def test_optimizer_variants_build_and_step():
     assert mags[-1] > 5.0 * mags[0], (
         "centered RMSprop must amplify constant gradients "
         f"(got {mags[0]:.3f} -> {mags[-1]:.3f})")
+
+
+@pytest.mark.slow
+def test_train_metrics_carry_roi_unfit_overflow(setup):
+    """The window-RoIAlign silent-degradation counter must surface in the
+    train metrics whenever the kernel is on (VERDICT r3 #3); tiny_model's
+    maps are smaller than any legal window so the wrapper falls back to
+    pure XLA and the counter must read 0."""
+    model, variables, batch = setup
+    model = model.clone(roi_window_kernel=True, roi_window=8)
+    cfg = _cfg()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, layers="all"))
+    _, m = step(state, batch, jnp.float32(0.001), jnp.float32(1.0),
+                jax.random.PRNGKey(3))
+    assert "roi_unfit_overflow" in m
+    assert float(m["roi_unfit_overflow"]) == 0.0
