@@ -49,8 +49,16 @@ commit_evidence() {  # commit_evidence MSG — commit $RES only (other staged
 }
 
 run=0
+STOP_FILE=${STOP_FILE:-/tmp/ablation_stop}
 arm() {  # arm VARIANT SEED EXTRA_ARGS... — run one arm unless recorded
   local recorded_as=$1 variant=$2 seed=$3; shift 3
+  # graceful pause point: killing the in-flight python mid-RPC wedges the
+  # axon tunnel for ~30 min — interject by `touch $STOP_FILE` and waiting
+  # for the current arm to finish instead
+  if [ -e "$STOP_FILE" ]; then
+    echo "=== queue: stop file $STOP_FILE present — exiting at arm boundary ==="
+    exit 0
+  fi
   [ "$run" -ge "$MAX" ] && exit 0
   if have "$recorded_as" "$seed"; then return 0; fi
   echo "=== queue: ${recorded_as} seed ${seed} ==="
