@@ -209,12 +209,16 @@ class Dev(nn.Module):
     roi_window_kernel: bool = False
     # TPU.ROI_WINDOW_SIZE: static DMA window side (cells). Must be a
     # multiple of 8 (sublane alignment); every pyramid map must be at
-    # least this big or the wrapper falls back to pure XLA entirely.
+    # least this big or the wrapper falls back to pure XLA entirely. The
+    # actual window is rectangular — (side, side+8) — the +8 x-pad absorbs
+    # the sublane-aligned DMA origin's worst-case 7-cell loss, which
+    # otherwise unfits the upper size band of every FPN level (measured:
+    # 97.4% -> 99.6% fit on a log-uniform ar<=3 RoI mix).
     roi_window: int = 32
     dtype: Any = jnp.float32
 
     def _sow_unfit_overflow(self, feats, flat_rois, level_idx, crops,
-                            window=(32, 32)):
+                            window=(32, 40)):
         """Surface the window-hybrid's silent-degradation counter
         (ops/roi_align_window.py::hybrid_unfit_overflow) into the
         'diagnostics' collection — harvested by train/step.py and
@@ -307,8 +311,8 @@ class Dev(nn.Module):
 
         ml_pool = (multilevel_crop_and_resize_window if self.roi_window_kernel
                    else multilevel_crop_and_resize)
-        base_kw = ({"window": (self.roi_window,) * 2}
-                   if self.roi_window_kernel else {})
+        base_win = (self.roi_window, self.roi_window + 8)
+        base_kw = ({"window": base_win} if self.roi_window_kernel else {})
 
         if not self.use_dev:
             pooled_cls = ml_pool(
@@ -325,7 +329,7 @@ class Dev(nn.Module):
                                  base=self.assign_base) - 2,
                 ([self.pool_size] if need_cls else [])
                 + ([self.mask_pool_size] if need_mask else []),
-                window=(self.roi_window,) * 2)
+                window=base_win)
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -361,7 +365,7 @@ class Dev(nn.Module):
         if (self.roi_window_kernel and self.upsample_fac > 1.0
                 and not self.dis_upsampler):
             w = self.roi_window * int(-(-self.upsample_fac // 1))  # × ceil(fac)
-            pool_kw = {"window": (w, w)}
+            pool_kw = {"window": (w, w + 8)}
         if self.roi_method == "roi_align":
             if need_cls:
                 pooled_cls = ml_pool(
@@ -375,7 +379,7 @@ class Dev(nn.Module):
                 ups, flat_rois, level_idx,
                 ([self.pool_size] if need_cls else [])
                 + ([self.mask_pool_size] if need_pooled_mask else []),
-                window=pool_kw.get("window", (32, 32)))
+                window=pool_kw.get("window", (32, 40)))
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(

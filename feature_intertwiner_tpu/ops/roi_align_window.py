@@ -196,40 +196,58 @@ def _grid_params(boxes, level_idx, heights, widths, crop, axis):
     return start, step, dim
 
 
+def phys_widths_for(widths, sx):
+    """Physical (zero-padded) map widths for window x-span ``sx``: levels
+    narrower than the window are padded up to it so a window can always be
+    DMA'd (out-of-map cells read zeros = their exact contribution)."""
+    return jnp.maximum(jnp.asarray(widths, jnp.int32), jnp.int32(sx))
+
+
 def window_origins_and_fits(boxes, level_idx, heights, widths, crop_size,
-                            window):
+                            window, phys_widths=None):
     """Per-box DMA window origin + fit test — pure box math, no feature
     reads, so callers can also use it standalone as a cheap overflow
-    diagnostic (VERDICT r3 #3). Returns (y0 [N] i32, x0 [N] i32, fits [N])."""
+    diagnostic (VERDICT r3 #3). Returns (y0 [N] i32, x0 [N] i32, fits [N]).
+
+    ``phys_widths``: per-level PHYSICAL widths when the feature arrays are
+    zero-padded beyond the logical ``widths`` (the x-span may exceed a
+    level's logical width — e.g. the default rectangular (32, 40) window on
+    the 32-cell P5 map). Validity/taps use the logical dims; only the DMA
+    reach (origin clamp) uses the physical dims."""
     ch, cw = crop_size
     sy, sx = window
     ys, yt, hf = _grid_params(boxes, level_idx, heights, widths, ch, axis=0)
     xs, xt, wf = _grid_params(boxes, level_idx, heights, widths, cw, axis=1)
+    if phys_widths is None:
+        phys_widths = phys_widths_for(widths, sx)
+    pw = phys_widths[level_idx].astype(jnp.float32)
 
-    def origin_and_fit(start, step, crop, dim, span, align=1):
+    def origin_and_fit(start, step, crop, dim, phys_dim, span, align=1):
         # align: Mosaic requires dynamic HBM slice starts in the lane-tiled
         # W dimension to be divisible by the 8-wide sublane tile; y starts
         # are unconstrained. Aligning down costs up to align-1 cells of the
-        # window's usable span (folded into the fit test).
+        # window's usable span (folded into the fit test); the default
+        # window's x-span carries a +8 pad to absorb exactly this loss.
         end = start + step * (crop - 1)
         lo = jnp.clip(jnp.floor(jnp.minimum(start, end)), 0, dim - 1.0)
         hi = jnp.clip(jnp.ceil(jnp.maximum(start, end)), 0, dim - 1.0)
         if align > 1:
             lo = jnp.floor(lo / align) * align
-        # The DMA origin must satisfy o + span <= dim, so clip to dim - span
-        # (and re-align down: dim - span need not be a multiple of align).
-        # The fit test MUST use the final origin o, not lo — when dim is not
-        # a multiple of align the clip+realign can slide the window left of
-        # lo, and a test against lo would keep fits=True while right-edge
-        # taps fall outside the window (silently zeroed by the hat weights).
-        o = jnp.clip(lo, 0.0, dim - span)
+        # The DMA origin must satisfy o + span <= phys_dim, so clip to
+        # phys_dim - span (and re-align down: the bound need not be a
+        # multiple of align). The fit test MUST use the final origin o, not
+        # lo — when the bound is not a multiple of align the clip+realign
+        # can slide the window left of lo, and a test against lo would keep
+        # fits=True while right-edge taps fall outside the window (silently
+        # zeroed by the hat weights).
+        o = jnp.clip(lo, 0.0, jnp.maximum(phys_dim - span, 0.0))
         if align > 1:
             o = jnp.floor(o / align) * align
         fits = hi - o + 1.0 <= span
         return o.astype(jnp.int32), fits
 
-    y0, fit_y = origin_and_fit(ys, yt, ch, hf, float(sy))
-    x0, fit_x = origin_and_fit(xs, xt, cw, wf, float(sx), align=8)
+    y0, fit_y = origin_and_fit(ys, yt, ch, hf, hf, float(sy))
+    x0, fit_x = origin_and_fit(xs, xt, cw, wf, pw, float(sx), align=8)
     return y0, x0, fit_y & fit_x
 
 
@@ -241,7 +259,7 @@ def multilevel_roi_align_window(
     box_indices: jax.Array,
     level_idx: jax.Array,
     crop_size: Tuple[int, int],
-    window: Tuple[int, int] = (32, 32),
+    window: Tuple[int, int] = (32, 40),
     box_tile: int = 64,
     interpret: bool = False,
 ):
@@ -257,11 +275,19 @@ def multilevel_roi_align_window(
     n = boxes.shape[0]
     c = features[0].shape[-1]
     nlevels = len(features)
-    dims = tuple((f.shape[1], f.shape[2]) for f in features)
+    dims = tuple((f.shape[1], f.shape[2]) for f in features)  # LOGICAL dims
     for f in features:
-        assert f.shape[1] >= sy and f.shape[2] >= sx, (f.shape, window)
+        assert f.shape[1] >= sy and f.shape[2] >= sy, (f.shape, window)
     assert sx % 8 == 0, "window width must be sublane-aligned"
     assert n > 0, "window kernel needs >=1 box (callers route n==0 to XLA)"
+    # Levels narrower than the x-span are zero-padded up to it (the
+    # rectangular default window's +8 x-pad exceeds e.g. the 32-cell P5
+    # map). Out-of-map taps are masked by the logical-dim validity, so the
+    # padding cells' zeros are exactly their true contribution.
+    features = [f if f.shape[2] >= sx
+                else jnp.pad(f, ((0, 0), (0, 0), (0, sx - f.shape[2]),
+                                 (0, 0)))
+                for f in features]
     # packed-word capacity (lvl 2b | batch 6b | x0//8 8b | y0 15b) — exceeding
     # any field would silently wrap and DMA windows from the wrong image/offset
     assert nlevels <= 4, nlevels
@@ -420,13 +446,15 @@ _window_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 def _window_path_active(features, window):
     """True when multilevel_crop_and_resize_window would actually run the
-    hybrid kernel (same guards, kept adjacent so they cannot drift)."""
+    hybrid kernel (same guards, kept adjacent so they cannot drift). Maps
+    narrower than the x-span are allowed (the wrapper zero-pads them); the
+    square ``sy`` side is the activation floor in both axes."""
     sy, sx = window
     return not (
         len(features) > 4
         or features[0].shape[0] > 64              # 6-bit batch field
-        or any(f.shape[1] < sy or f.shape[2] < sx for f in features)
-        or any((f.shape[2] - sx) // 8 >= 256      # 8-bit x0//8 field
+        or any(f.shape[1] < sy or f.shape[2] < sy for f in features)
+        or any((max(f.shape[2], sx) - sx) // 8 >= 256  # 8-bit x0//8 field
                or f.shape[1] - sy >= 2 ** 15 for f in features))
 
 
@@ -435,7 +463,7 @@ def hybrid_unfit_overflow(
     boxes: jax.Array,
     level_idx: jax.Array,
     crop_size: Tuple[int, int],
-    window: Tuple[int, int] = (32, 32),
+    window: Tuple[int, int] = (32, 40),
 ) -> jax.Array:
     """Count of boxes whose values the hybrid silently tap-truncates.
 
@@ -469,7 +497,7 @@ def multilevel_crop_and_resize_window(
     image_shape: Tuple[int, int],
     assign_base: float = 224.0,
     level_idx: jax.Array = None,
-    window: Tuple[int, int] = (32, 32),
+    window: Tuple[int, int] = (32, 40),
     interpret: bool = None,
 ):
     """Drop-in for ops.roi_align.multilevel_crop_and_resize backed by the

@@ -58,9 +58,14 @@ def _pad_up(n: int, m: int) -> int:
 
 
 class _Tiling:
-    """Static strip tiling of the pyramid (everything here is Python-time)."""
+    """Static strip tiling of the pyramid (everything here is Python-time).
 
-    def __init__(self, feat_shapes, sy: int, strip_h: int):
+    ``W`` is the PHYSICAL (x-span-padded) width the kernel scatters into —
+    levels narrower than the window x-span are padded like the forward
+    (roi_align_window.py); the wrapper slices the pad columns off the
+    returned gradients (their grad is zero: out-of-map taps are masked)."""
+
+    def __init__(self, feat_shapes, sy: int, strip_h: int, sx: int = 0):
         self.strip_h = strip_h
         self.levels = []          # (H, W, n_strips, bh, main_rows, base, b)
         base = 0
@@ -73,8 +78,9 @@ class _Tiling:
             else:
                 assert h % strip_h == 0, (h, strip_h)
                 n_strips, bh, main = h // strip_h, strip_h + sy, strip_h
-            self.levels.append(dict(H=h, W=w, C=c, n_strips=n_strips,
-                                    bh=bh, main=main, base=base))
+            self.levels.append(dict(H=h, W=max(w, sx), W_logical=w, C=c,
+                                    n_strips=n_strips, bh=bh, main=main,
+                                    base=base))
             base += n_strips * b
         self.n_tiles = base
 
@@ -135,9 +141,10 @@ def _bwd_kernel(tl_ref, tb_ref, tr0_ref, tsp_ref, ts_ref, tc_ref,
         g_dma(0, 0).start()
 
     # iota planes for the two separable hat matrices, shared across boxes
-    yy = lax.broadcasted_iota(jnp.float32, (sy, ru), 0)     # window row
+    # (int32 iota + cast: Mosaic's tpu.iota is integer-only)
+    yy = lax.broadcasted_iota(jnp.int32, (sy, ru), 0).astype(jnp.float32)
     ry = lax.broadcasted_iota(jnp.int32, (sy, ru), 1)       # output index
-    xx = lax.broadcasted_iota(jnp.float32, (sx, ru), 0)     # window col
+    xx = lax.broadcasted_iota(jnp.int32, (sx, ru), 0).astype(jnp.float32)
     rx = lax.broadcasted_iota(jnp.int32, (sx, ru), 1)
     jj = (ry // cw).astype(jnp.float32)                     # output row
     kk = (rx % cw).astype(jnp.float32)                      # output col
@@ -211,7 +218,7 @@ def multilevel_roi_align_window_bwd(
     level_idx: jax.Array,
     feat_shapes: Tuple[Tuple[int, int, int, int], ...],
     crop_size: Tuple[int, int],
-    window: Tuple[int, int] = (32, 32),
+    window: Tuple[int, int] = (32, 40),
     strip_h: int = 128,
     interpret: bool = False,
 ) -> List[jax.Array]:
@@ -227,7 +234,7 @@ def multilevel_roi_align_window_bwd(
     n = boxes.shape[0]
     c = feat_shapes[0][-1]
     assert strip_h >= sy
-    tiling = _Tiling(feat_shapes, sy, strip_h)
+    tiling = _Tiling(feat_shapes, sy, strip_h, sx=sx)
 
     heights = jnp.array([s[1] for s in feat_shapes], jnp.int32)
     widths = jnp.array([s[2] for s in feat_shapes], jnp.int32)
@@ -267,8 +274,8 @@ def multilevel_roi_align_window_bwd(
 
     spill_levels = [li for li, L in enumerate(tiling.levels)
                     if L["n_strips"] > 1]
-    out_shapes = [jax.ShapeDtypeStruct(tuple(s[:3]) + (c,), jnp.float32)
-                  for s in feat_shapes]
+    out_shapes = [jax.ShapeDtypeStruct((s[0], L["H"], L["W"], c), jnp.float32)
+                  for s, L in zip(feat_shapes, tiling.levels)]
     spill_shapes = [
         jax.ShapeDtypeStruct(
             (tiling.levels[li]["n_strips"] * tiling.batch, sy,
@@ -317,6 +324,9 @@ def multilevel_roi_align_window_bwd(
             off = (s + 1) * strip_h
             d = d.at[:, off:off + sy].add(spill[s])
         d_feats[li] = d
+    # drop the x-span pad columns (their grad is identically zero)
+    d_feats = [d if L["W"] == L["W_logical"] else d[:, :, :L["W_logical"]]
+               for d, L in zip(d_feats, tiling.levels)]
     return d_feats
 
 
@@ -331,8 +341,9 @@ def bwd_kernel_supported(feat_shapes, window, strip_h: int = 128,
         return False
     b = feat_shapes[0][0]
     for (bb, h, w, c) in feat_shapes:
-        if bb != b or h < sy or w < sx:
+        if bb != b or h < sy or w < sy:   # narrow-W levels are x-padded
             return False
         if h > strip_h and h % strip_h != 0:
             return False
-    return _Tiling(feat_shapes, sy, strip_h).scratch_bytes() <= vmem_budget
+    return (_Tiling(feat_shapes, sy, strip_h, sx=sx).scratch_bytes()
+            <= vmem_budget)

@@ -1,22 +1,31 @@
 #!/usr/bin/env python
-"""The achievable window-RoIAlign audit (VERDICT r3 #3).
+"""Window-RoIAlign eval audit at PRODUCTION geometry (VERDICT r3 #3).
 
-One converged checkpoint, two full COCO evals on the held-out synthetic val
-set — TPU.ROI_WINDOW_KERNEL off (pure XLA gather) vs on (window-DMA Pallas
-hybrid) — asserting the COCO results are identical. The hybrid is exact by
-construction up to ``fallback_k`` unfit boxes (ops/roi_align_window.py), and
-the runtime unfit-overflow counter recorded alongside proves no box crossed
-that budget during the audit itself.
+Two parts, one tracked record (results/audit/roi_window_audit.json):
 
-The surviving converged checkpoint (results/ablation/l2_s2_pc, 320² images)
-has pyramid maps of 80/40/20/10 cells, so the audit runs the kernel with an
-8-cell window (TPU.ROI_WINDOW_SIZE=8) — the same kernel/hybrid/fallback code
-the 1024² production path runs with 32 (kernel-level exactness at 32 is
-covered by tests/test_roi_align_window.py).
+1. **Production audit** — the geometry `main.py` defaults actually run:
+   1024² images (pyramid 256/128/64/32 cells), `TPU.ROI_WINDOW_SIZE=32`.
+   A quick synthetic overfit (the learn_check recipe at full resolution)
+   produces real detections, then the SAME params are evaluated twice —
+   `TPU.ROI_WINDOW_KERNEL` off (pure XLA gather) vs on (window-DMA Pallas
+   hybrid). Asserts the runtime unfit-overflow counter reads 0 and the
+   COCO stats agree to bf16-rounding tolerance (the kernel is exact to
+   rounding on fit boxes; fallback boxes are bit-exact XLA).
 
-Writes results/audit/roi_window_audit.json (tracked evidence).
+2. **Forced-truncation control** — the negative case that proves the
+   silent-degradation channel is INSTRUMENTED: a 320² checkpoint evaluated
+   with the kernel forced on at an 8-cell window (smaller than most box
+   footprints, so taps truncate en masse). Expected: the overflow counter
+   fires massively and AP collapses vs the gather path. Note the CLI never
+   runs this — `multilevel_crop_and_resize_window` falls back to pure XLA
+   whenever any pyramid map is smaller than the window (images < 1024²),
+   which `tests/test_roi_align_window.py` pins.
 
-Usage: python scripts/audit_roi_window.py  (needs the TPU; ~2 min)
+Reference semantics: lib/roi_align/src/cuda/crop_and_resize_kernel.cu:17-82.
+
+Usage: python scripts/audit_roi_window.py            (both parts; ~20 min TPU)
+       python scripts/audit_roi_window.py --prod     (production part only)
+       python scripts/audit_roi_window.py --control  (control part only)
 """
 import json
 import os
@@ -26,90 +35,212 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT_RUN = os.path.join(REPO, "results", "ablation", "l2_s2_pc")
 AUDIT_DIR = os.path.join(REPO, "results", "audit")
+CTRL_CKPT_RUN = os.path.join(REPO, "results", "ablation", "l2_s2_pc")
+STAT_NAMES = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+              "AR1", "AR10", "AR100", "AR_small", "AR_medium", "AR_large"]
+PROD_TOL = 0.005  # bf16 rounding can flip borderline detections
 
 
-def run_eval(use_window, ckpt_path, data_root):
+def _overflow_from(folder):
+    total = None
+    mpath = os.path.join(folder, "metrics.jsonl")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "roi_unfit_overflow" in rec:
+                    total = rec["roi_unfit_overflow"]
+    return total
+
+
+def prod_audit():
+    """Overfit at 1024², eval the same params with the kernel off/on."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from feature_intertwiner_tpu.config import build_config
+    from feature_intertwiner_tpu.data import get_data, synthetic
+    from feature_intertwiner_tpu.models import InterNet
+    from feature_intertwiner_tpu.train.step import (create_train_state,
+                                                    make_train_step)
+    from feature_intertwiner_tpu.train.workflow import test_model
+
+    root = os.path.join(AUDIT_DIR, "data_1024")
+    if not os.path.exists(os.path.join(root, "annotations",
+                                       "instances_minival2014.json")):
+        synthetic.generate(root, num_images=8, size=(768, 1024), seed=7)
+
+    cfg = build_config()
+    cfg.CTRL.QUICK_VERIFY = True
+    cfg.MODEL.BACKBONE = "resnet50"
+    cfg.DATA.MAX_GT_INSTANCES = 8
+    cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 64
+    cfg.TEST.DET_MAX_INSTANCES = 16
+    cfg.TEST.DET_MIN_CONFIDENCE = 0.5
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.INIT_LR = 0.002
+    cfg.DEV.SWITCH = True
+    cfg.DEV.LOSS_CHOICE = "l2"
+    cfg.DEV.BUFFER_SIZE = 1
+    cfg.DEV.UPSAMPLE_FAC = 1.0
+    cfg.DEV.LOSS_FAC = 1.0
+    cfg.finalize()
+    assert tuple(cfg.DATA.IMAGE_SHAPE[:2]) == (1024, 1024), cfg.DATA.IMAGE_SHAPE
+    assert cfg.TPU.ROI_WINDOW_KERNEL and cfg.TPU.ROI_WINDOW_SIZE == 32
+
+    loader, val, val_api = get_data(cfg, data_root=root)
+    cfg.DATASET.NUM_CLASSES = val.num_classes
+    model = InterNet.from_config(cfg, dtype=jnp.bfloat16)
+
+    batch = {k: jnp.asarray(v) for k, v in list(loader)[0].items()
+             if k != "image_meta"}
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch["images"][:1], mode="train",
+        gt_class_ids=batch["gt_class_ids"][:1],
+        gt_boxes=batch["gt_boxes"][:1], gt_masks=batch["gt_masks"][:1]))()
+    state = create_train_state(cfg, variables)
+    step = jax.jit(make_train_step(model, cfg, "all"))
+
+    t0 = time.time()
+    rng = jax.random.PRNGKey(42)
+    steps = int(os.environ.get("AUDIT_STEPS", "150"))
+    train_overflow = 0.0
+    for it in range(1, steps + 1):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, jnp.float32(cfg.TRAIN.INIT_LR),
+                              jnp.float32(1.0), sub)
+        train_overflow += float(metrics["roi_unfit_overflow"])
+        if it in (1, steps // 2, steps):
+            print(f"prod-audit it {it}: total "
+                  f"{float(metrics['total_loss']):.3f}", flush=True)
+    print(f"prod-audit train {time.time() - t0:.1f}s "
+          f"(train overflow {train_overflow:.0f})", flush=True)
+
+    eval_vars = {"params": state.params}
+    if state.batch_stats:
+        eval_vars["batch_stats"] = state.batch_stats
+
+    out = {}
+    for use_window in (False, True):
+        tag = "prod_window_on" if use_window else "prod_window_off"
+        cfg.MISC.RESULT_FOLDER = os.path.join(AUDIT_DIR, tag)
+        # fresh folder: test_model reuses cached det_result_ep*_n*.json and
+        # metrics.jsonl appends — stale state would silently re-audit the
+        # PREVIOUS kernel
+        import shutil
+        shutil.rmtree(cfg.MISC.RESULT_FOLDER, ignore_errors=True)
+        os.makedirs(cfg.MISC.RESULT_FOLDER, exist_ok=True)
+        m = model.clone(roi_window_kernel=use_window)
+        stats = test_model(m, eval_vars, cfg, val, val_api,
+                           epoch=99 if use_window else 98, eval_masks=True)
+        out[tag] = {"stats": dict(zip(STAT_NAMES, map(float, stats))),
+                    "overflow": _overflow_from(cfg.MISC.RESULT_FOLDER)}
+
+    diff = max(abs(out["prod_window_on"]["stats"][k]
+                   - out["prod_window_off"]["stats"][k]) for k in STAT_NAMES)
+    return {
+        "geometry": "1024x1024, pyramid 256/128/64/32, window 32",
+        "train_steps": steps,
+        "train_roi_unfit_overflow": train_overflow,
+        "stats_gather": out["prod_window_off"]["stats"],
+        "stats_window": out["prod_window_on"]["stats"],
+        "max_abs_stat_diff": diff,
+        "eval_roi_unfit_overflow_window": out["prod_window_on"]["overflow"],
+        "tolerance": PROD_TOL,
+        "pass": bool(diff <= PROD_TOL
+                     and out["prod_window_on"]["overflow"] == 0),
+    }
+
+
+def control_audit():
+    """Forced 8-cell window on a 320² checkpoint: overflow must FIRE."""
     import jax
     import jax.numpy as jnp
 
     from ablation_check import build_cfg
     from feature_intertwiner_tpu.data import get_data
     from feature_intertwiner_tpu.models import InterNet
-    from feature_intertwiner_tpu.train.checkpoint import restore_checkpoint
+    from feature_intertwiner_tpu.train.checkpoint import (find_last,
+                                                          restore_checkpoint)
     from feature_intertwiner_tpu.train.step import create_train_state
     from feature_intertwiner_tpu.train.workflow import test_model
 
-    tag = "window_on" if use_window else "window_off"
-    folder = os.path.join(AUDIT_DIR, tag)
-    cfg = build_cfg("l2", 2, [16, 4, 4], folder)
-    cfg.TPU.ROI_WINDOW_KERNEL = bool(use_window)
-    cfg.TPU.ROI_WINDOW_SIZE = 8  # 320² maps are 80/40/20/10 cells
-    loader, val, val_api = get_data(cfg, data_root=data_root)
-    cfg.DATASET.NUM_CLASSES = val.num_classes
+    ckpt = find_last(CTRL_CKPT_RUN)
+    assert ckpt, f"no checkpoint under {CTRL_CKPT_RUN}"
+    data_root = os.path.join(REPO, "results", "ablation", "data_paired")
 
-    model = InterNet.from_config(cfg, dtype=jnp.bfloat16)
-    sample = loader.dataset[0]
-    variables = jax.jit(lambda: model.init(
-        {"params": jax.random.PRNGKey(0),
-         "sampling": jax.random.PRNGKey(1)},
-        jnp.asarray(sample["images"])[None], mode="train",
-        gt_class_ids=jnp.asarray(sample["gt_class_ids"])[None],
-        gt_boxes=jnp.asarray(sample["gt_boxes"])[None],
-        gt_masks=jnp.asarray(sample["gt_masks"])[None]))()
-    state = create_train_state(cfg, variables)
-    state, epoch, _ = restore_checkpoint(ckpt_path, state)
+    out = {}
+    for use_window in (False, True):
+        tag = "window_on" if use_window else "window_off"
+        folder = os.path.join(AUDIT_DIR, tag)
+        cfg = build_cfg("l2", 2, [16, 4, 4], folder)
+        cfg.TPU.ROI_WINDOW_KERNEL = bool(use_window)
+        cfg.TPU.ROI_WINDOW_SIZE = 8  # forced: 320² maps are 80/40/20/10
+        loader, val, val_api = get_data(cfg, data_root=data_root)
+        cfg.DATASET.NUM_CLASSES = val.num_classes
+        model = InterNet.from_config(cfg, dtype=jnp.bfloat16)
+        sample = loader.dataset[0]
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            jnp.asarray(sample["images"])[None], mode="train",
+            gt_class_ids=jnp.asarray(sample["gt_class_ids"])[None],
+            gt_boxes=jnp.asarray(sample["gt_boxes"])[None],
+            gt_masks=jnp.asarray(sample["gt_masks"])[None]))()
+        state = create_train_state(cfg, variables)
+        state, epoch, _ = restore_checkpoint(ckpt, state)
+        eval_vars = {"params": state.params}
+        if state.batch_stats:
+            eval_vars["batch_stats"] = state.batch_stats
+        stats = test_model(model, eval_vars, cfg, val, val_api, epoch=epoch,
+                           eval_masks=True)
+        out[tag] = {"stats": dict(zip(STAT_NAMES, map(float, stats))),
+                    "overflow": _overflow_from(folder)}
 
-    eval_vars = {"params": state.params}
-    if state.batch_stats:
-        eval_vars["batch_stats"] = state.batch_stats
-    stats = test_model(model, eval_vars, cfg, val, val_api, epoch=epoch,
-                       eval_masks=True)
-    # the eval's own metrics.jsonl row carries the overflow counter
-    overflow = None
-    mpath = os.path.join(folder, "metrics.jsonl")
-    with open(mpath) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "roi_unfit_overflow" in rec:
-                overflow = rec["roi_unfit_overflow"]
-    return [float(s) for s in stats], overflow
+    diff = max(abs(out["window_on"]["stats"][k]
+                   - out["window_off"]["stats"][k]) for k in STAT_NAMES)
+    return {
+        "geometry": "320x320 ckpt, window FORCED to 8 (CLI would fall back)",
+        "checkpoint": os.path.relpath(ckpt, REPO),
+        "stats_gather": out["window_off"]["stats"],
+        "stats_window_forced8": out["window_on"]["stats"],
+        "max_abs_stat_diff": diff,
+        "eval_roi_unfit_overflow_window": out["window_on"]["overflow"],
+        # the channel is instrumented: truncation is loud, not silent
+        "pass": bool(out["window_on"]["overflow"]
+                     and out["window_on"]["overflow"] > 0),
+    }
 
 
 def main():
-    from feature_intertwiner_tpu.train.checkpoint import find_last
-
     os.makedirs(AUDIT_DIR, exist_ok=True)
-    ckpt = find_last(CKPT_RUN)
-    assert ckpt, f"no checkpoint under {CKPT_RUN}"
-    data_root = os.path.join(REPO, "results", "ablation", "data_paired")
+    want_prod = "--control" not in sys.argv
+    want_ctrl = "--prod" not in sys.argv
 
-    stats_off, _ = run_eval(False, ckpt, data_root)
-    stats_on, overflow_on = run_eval(True, ckpt, data_root)
+    path = os.path.join(AUDIT_DIR, "roi_window_audit.json")
+    record = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if "production" in old:
+            record = old
 
-    names = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
-             "AR1", "AR10", "AR100", "AR_small", "AR_medium", "AR_large"]
-    max_diff = max(abs(a - b) for a, b in zip(stats_off, stats_on))
-    record = {
-        "checkpoint": os.path.relpath(ckpt, REPO),
-        "window": 8,
-        "stats_gather": dict(zip(names, stats_off)),
-        "stats_window": dict(zip(names, stats_on)),
-        "max_abs_stat_diff": max_diff,
-        "roi_unfit_overflow_window_eval": overflow_on,
-        "identical": bool(max_diff == 0.0),
-    }
-    out = os.path.join(AUDIT_DIR, "roi_window_audit.json")
-    with open(out, "w") as f:
+    if want_prod:
+        record["production"] = prod_audit()
+    if want_ctrl:
+        record["forced_truncation_control"] = control_audit()
+
+    with open(path, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
     print(json.dumps(record, indent=1))
-    assert record["identical"], (
-        f"COCO results differ between gather and window paths "
-        f"(max |Δstat| = {max_diff})")
-    assert overflow_on == 0, overflow_on
-    print("AUDIT PASS: window kernel eval == gather eval, overflow 0")
+    ok = all(sec.get("pass") for sec in record.values())
+    print("AUDIT", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

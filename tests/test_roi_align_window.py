@@ -327,3 +327,59 @@ class TestUnfitOverflow:
         leaves = jax.tree_util.tree_leaves(diag)
         assert leaves, "no diagnostics sown"
         assert int(leaves[0]) >= 0
+
+
+def test_rect_window_pads_narrow_levels_and_fits_giant_boxes(rng):
+    """The production-audit regression (round 4): near-full-image boxes at
+    their FPN-assigned top level must FIT the rectangular default window —
+    the x-span (+8 over the side) absorbs the sublane-align origin loss,
+    and levels narrower than the span are zero-padded internally (P5 at
+    1024² is exactly as wide as the square side). Values must match the
+    exact XLA gather, and the hybrid must report zero overflow."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        hybrid_unfit_overflow, multilevel_crop_and_resize_window)
+
+    feats = _pyramid(rng)  # P5 map is 32 cells = the square window side
+    n = 24
+    # giant boxes: 60-98% of the image, moderate aspect ratios
+    size = rng.rand(n) * 0.38 + 0.6
+    ar = np.exp(rng.uniform(np.log(0.7), np.log(1.4), n))
+    h = np.clip(size * np.sqrt(ar), 0.05, 0.98)
+    w = np.clip(size / np.sqrt(ar), 0.05, 0.98)
+    y1 = rng.rand(n) * (1 - h)
+    x1 = rng.rand(n) * (1 - w)
+    boxes = jnp.asarray(np.stack([y1, x1, y1 + h, x1 + w], 1), np.float32)
+    bidx = jnp.asarray(rng.randint(0, 2, n).astype(np.int32))
+    # force the top level (at full 1024² production scale the FPN assigner
+    # sends these boxes there; the 256² test pyramid only reaches P4)
+    lvl = jnp.full((n,), 3, jnp.int32)
+
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 40), box_tile=8,
+        interpret=True)
+    assert np.asarray(fits).all(), "giant top-level boxes must fit (32, 40)"
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+    ov = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), window=(32, 40))
+    assert int(ov) == 0
+
+    # and the hybrid's gradient agrees with the XLA path through the
+    # padded top level (the bwd kernel scatters into padded buffers)
+    def via_hybrid(fs):
+        out = multilevel_crop_and_resize_window(
+            fs, boxes, bidx, (7, 7), (IMAGE, IMAGE), level_idx=lvl,
+            window=(32, 40), interpret=True)
+        return jnp.sum(out * out)
+
+    def via_xla(fs):
+        out = multilevel_crop_and_resize(
+            list(fs), boxes, bidx, (7, 7), (IMAGE, IMAGE), level_idx=lvl)
+        return jnp.sum(out * out)
+
+    g_h = jax.grad(via_hybrid)(feats)
+    g_x = jax.grad(via_xla)(feats)
+    for a, b in zip(g_h, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-4)
