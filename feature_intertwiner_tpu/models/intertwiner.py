@@ -218,18 +218,23 @@ class Dev(nn.Module):
     dtype: Any = jnp.float32
 
     def _sow_unfit_overflow(self, feats, flat_rois, level_idx, crops,
-                            window=(32, 40)):
+                            window=(32, 40), divs=None):
         """Surface the window-hybrid's silent-degradation counter
         (ops/roi_align_window.py::hybrid_unfit_overflow) into the
         'diagnostics' collection — harvested by train/step.py and
         test_model into metrics.jsonl (VERDICT r3 #3). No-op unless the
-        window kernel is on and 'diagnostics' is mutable."""
+        window kernel is on and 'diagnostics' is mutable. ``divs`` aligns
+        a fallback budget divisor to each crop (the inference classifier
+        pooling runs a 4 where train/mask use the default 16)."""
         if not self.roi_window_kernel or self.is_initializing():
             return
+        if divs is None:
+            divs = [16] * len(crops)
         ov = jnp.zeros((), jnp.int32)
-        for crop in crops:
+        for crop, div in zip(crops, divs):
             ov = ov + hybrid_unfit_overflow(
-                feats, flat_rois, level_idx, (crop, crop), window)
+                feats, flat_rois, level_idx, (crop, crop), window,
+                fallback_div=div)
         self.sow("diagnostics", "roi_unfit_overflow", ov,
                  init_fn=lambda: jnp.zeros((), jnp.int32),
                  reduce_fn=lambda a, b: a + b)
@@ -313,12 +318,19 @@ class Dev(nn.Module):
                    else multilevel_crop_and_resize)
         base_win = (self.roi_window, self.roi_window + 8)
         base_kw = ({"window": base_win} if self.roi_window_kernel else {})
+        # inference-time classifier pooling runs the full 1000-proposal
+        # list whose noise tail has arbitrary aspect ratios — widen the
+        # exact-XLA fallback budget there (n//4 vs the n//16 default) so
+        # eval detections stay exact (results/audit/roi_window_audit.json)
+        cls_div = 4 if not train else 16
+        cls_kw = ({**base_kw, "fallback_div": cls_div}
+                  if self.roi_window_kernel else {})
 
         if not self.use_dev:
             pooled_cls = ml_pool(
                 feats, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
                 assign_base=self.assign_base,
-                **base_kw) if need_cls else None
+                **cls_kw) if need_cls else None
             pooled_mask = ml_pool(
                 feats, flat_rois, box_idx, (self.mask_pool_size,) * 2,
                 image_shape, assign_base=self.assign_base,
@@ -329,7 +341,9 @@ class Dev(nn.Module):
                                  base=self.assign_base) - 2,
                 ([self.pool_size] if need_cls else [])
                 + ([self.mask_pool_size] if need_mask else []),
-                window=base_win)
+                window=base_win,
+                divs=([cls_div] if need_cls else [])
+                + ([16] if need_mask else []))
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -368,9 +382,11 @@ class Dev(nn.Module):
             pool_kw = {"window": (w, w + 8)}
         if self.roi_method == "roi_align":
             if need_cls:
+                kw = ({**pool_kw, "fallback_div": cls_div}
+                      if self.roi_window_kernel else pool_kw)
                 pooled_cls = ml_pool(
                     ups, flat_rois, box_idx, (self.pool_size,) * 2,
-                    image_shape, level_idx=level_idx, **pool_kw)
+                    image_shape, level_idx=level_idx, **kw)
             if need_pooled_mask:
                 pooled_mask = ml_pool(
                     ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
@@ -379,7 +395,9 @@ class Dev(nn.Module):
                 ups, flat_rois, level_idx,
                 ([self.pool_size] if need_cls else [])
                 + ([self.mask_pool_size] if need_pooled_mask else []),
-                window=pool_kw.get("window", (32, 40)))
+                window=pool_kw.get("window", (32, 40)),
+                divs=([cls_div] if need_cls else [])
+                + ([16] if need_pooled_mask else []))
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(

@@ -464,6 +464,7 @@ def hybrid_unfit_overflow(
     level_idx: jax.Array,
     crop_size: Tuple[int, int],
     window: Tuple[int, int] = (32, 40),
+    fallback_div: int = 16,
 ) -> jax.Array:
     """Count of boxes whose values the hybrid silently tap-truncates.
 
@@ -484,7 +485,7 @@ def hybrid_unfit_overflow(
     _, _, fits = window_origins_and_fits(
         boxes, level_idx.astype(jnp.int32), heights, widths,
         tuple(crop_size), tuple(window))
-    fallback_k = min(n, max(8, n // 16))
+    fallback_k = min(n, max(8, n // fallback_div))
     n_unfit = jnp.sum((~fits).astype(jnp.int32))
     return jnp.maximum(0, n_unfit - fallback_k)
 
@@ -499,10 +500,20 @@ def multilevel_crop_and_resize_window(
     level_idx: jax.Array = None,
     window: Tuple[int, int] = (32, 40),
     interpret: bool = None,
+    fallback_div: int = 16,
 ):
     """Drop-in for ops.roi_align.multilevel_crop_and_resize backed by the
     window-DMA kernel (1.26-1.62x on v5e), with an exact XLA fallback for
     the unfit tail and the same custom-vjp backward as the gather path.
+
+    ``fallback_div``: the exact-XLA fallback budget is ``max(8,
+    n // fallback_div)`` — 16 (6.25%) covers object-like distributions
+    (unfit ~0.4% at the rectangular default window). The inference-time
+    CLASSIFIER pooling runs the full 1000-proposal list whose low-score
+    noise tail has arbitrary aspect ratios (~12.7% unfit measured on a
+    converged synthetic model, results/audit/) — the intertwiner passes 4
+    (25%) there so eval detections stay exact, at ~linear gather cost for
+    the covered fraction.
 
     Guards: maps smaller than the window (images < 1024² shrink P5 below
     32 cells) fall back to the pure XLA path entirely, and non-TPU
@@ -519,7 +530,7 @@ def multilevel_crop_and_resize_window(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = boxes.shape[0]
-    fallback_k = min(n, max(8, n // 16))
+    fallback_k = min(n, max(8, n // fallback_div))
     return _window_hybrid(
         tuple(features), boxes, box_indices.astype(jnp.int32),
         level_idx.astype(jnp.int32), tuple(crop_size), (sy, sx), fallback_k,

@@ -80,7 +80,8 @@ def main():
                 out = multilevel_crop_and_resize(
                     list(ms_), boxes + c * 1e-9, idx, crop, (1024, 1024))
                 return out
-            gs = jax.linear_transpose(f, ms)(g)
+            # the gather's output is f32; the cotangent must match
+            gs = jax.linear_transpose(f, ms)(g.astype(jnp.float32))
             return c + jnp.sum(gs[0][0].astype(jnp.float32)) * 1e-9
         scan_time(f"XLA transpose {tag} bwd alone", xla_bwd, g_fixed, *maps)
 
