@@ -84,10 +84,10 @@ def prod_audit():
                                                     make_train_step)
     from feature_intertwiner_tpu.train.workflow import test_model
 
-    root = os.path.join(AUDIT_DIR, "data_1024")
+    root = os.path.join(AUDIT_DIR, "data_1024v2")
     if not os.path.exists(os.path.join(root, "annotations",
                                        "instances_minival2014.json")):
-        synthetic.generate(root, num_images=16, size=(768, 1024), seed=7)
+        synthetic.generate(root, num_images=32, size=(768, 1024), seed=7)
 
     cfg = build_config()
     cfg.CTRL.QUICK_VERIFY = True
@@ -95,7 +95,11 @@ def prod_audit():
     cfg.DATA.MAX_GT_INSTANCES = 8
     cfg.ROIS.TRAIN_ROIS_PER_IMAGE = 64
     cfg.TEST.DET_MAX_INSTANCES = 16
-    cfg.TEST.DET_MIN_CONFIDENCE = 0.5
+    # COCO-style low threshold: a borderline detection stays present on
+    # BOTH paths with slightly different scores instead of flipping in
+    # and out at a hard cutoff — bf16 rounding then moves stats by score
+    # epsilons, not whole detections (each flip ≈ 0.01 AP at this val size)
+    cfg.TEST.DET_MIN_CONFIDENCE = 0.05
     cfg.TRAIN.BATCH_SIZE = 4
     cfg.TRAIN.INIT_LR = 0.002
     cfg.DEV.SWITCH = True
