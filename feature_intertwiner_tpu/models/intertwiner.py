@@ -318,11 +318,15 @@ class Dev(nn.Module):
                    else multilevel_crop_and_resize)
         base_win = (self.roi_window, self.roi_window + 8)
         base_kw = ({"window": base_win} if self.roi_window_kernel else {})
-        # inference-time classifier pooling runs the full 1000-proposal
-        # list whose noise tail has arbitrary aspect ratios — widen the
-        # exact-XLA fallback budget there (n//4 vs the n//16 default) so
-        # eval detections stay exact (results/audit/roi_window_audit.json)
-        cls_div = 4 if not train else 16
+        # Proposal-derived boxes carry a noise tail of arbitrary aspect
+        # ratios: at inference the classifier pools the full 1000-proposal
+        # list (~12.7% window-unfit measured), and at train the 1:3
+        # sampled NEGATIVES are low-IoU proposals (~18%/step unfit early
+        # in training, results/audit/). Widen the exact-XLA fallback
+        # budget to n//4 for those calls; only eval-time mask pooling runs
+        # on object-like refined detections and keeps the n//16 default.
+        cls_div = 4
+        mask_div = 4 if train else 16
         cls_kw = ({**base_kw, "fallback_div": cls_div}
                   if self.roi_window_kernel else {})
 
@@ -331,10 +335,12 @@ class Dev(nn.Module):
                 feats, flat_rois, box_idx, (self.pool_size,) * 2, image_shape,
                 assign_base=self.assign_base,
                 **cls_kw) if need_cls else None
+            mask_kw = ({**base_kw, "fallback_div": mask_div}
+                       if self.roi_window_kernel else {})
             pooled_mask = ml_pool(
                 feats, flat_rois, box_idx, (self.mask_pool_size,) * 2,
                 image_shape, assign_base=self.assign_base,
-                **base_kw) if need_mask else None
+                **mask_kw) if need_mask else None
             self._sow_unfit_overflow(
                 feats, flat_rois,
                 assign_fpn_level(flat_rois, image_shape,
@@ -343,7 +349,7 @@ class Dev(nn.Module):
                 + ([self.mask_pool_size] if need_mask else []),
                 window=base_win,
                 divs=([cls_div] if need_cls else [])
-                + ([16] if need_mask else []))
+                + ([mask_div] if need_mask else []))
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -388,16 +394,18 @@ class Dev(nn.Module):
                     ups, flat_rois, box_idx, (self.pool_size,) * 2,
                     image_shape, level_idx=level_idx, **kw)
             if need_pooled_mask:
+                kw = ({**pool_kw, "fallback_div": mask_div}
+                      if self.roi_window_kernel else pool_kw)
                 pooled_mask = ml_pool(
                     ups, flat_rois, box_idx, (self.mask_pool_size,) * 2,
-                    image_shape, level_idx=level_idx, **pool_kw)
+                    image_shape, level_idx=level_idx, **kw)
             self._sow_unfit_overflow(
                 ups, flat_rois, level_idx,
                 ([self.pool_size] if need_cls else [])
                 + ([self.mask_pool_size] if need_pooled_mask else []),
                 window=pool_kw.get("window", (32, 40)),
                 divs=([cls_div] if need_cls else [])
-                + ([16] if need_pooled_mask else []))
+                + ([mask_div] if need_pooled_mask else []))
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(
