@@ -318,15 +318,19 @@ class Dev(nn.Module):
                    else multilevel_crop_and_resize)
         base_win = (self.roi_window, self.roi_window + 8)
         base_kw = ({"window": base_win} if self.roi_window_kernel else {})
-        # Proposal-derived boxes carry a noise tail of arbitrary aspect
-        # ratios: at inference the classifier pools the full 1000-proposal
-        # list (~12.7% window-unfit measured), and at train the 1:3
-        # sampled NEGATIVES are low-IoU proposals (~18%/step unfit early
-        # in training, results/audit/). Widen the exact-XLA fallback
-        # budget to n//4 for those calls; only eval-time mask pooling runs
-        # on object-like refined detections and keeps the n//16 default.
-        cls_div = 4
-        mask_div = 4 if train else 16
+        # The inference classifier pools the full 1000-proposal list whose
+        # low-score noise tail has arbitrary aspect ratios (~12.7%
+        # window-unfit measured) — widen the exact-XLA fallback budget to
+        # n//4 there so eval detections are exact (the product-facing
+        # guarantee, results/audit/roi_window_audit.json). Train pooling
+        # keeps n//16: the unfit boxes there are sampled NEGATIVES early
+        # in training (their truncated features still train "background"),
+        # and a measured n//4 train budget cost 27% step time (the
+        # fallback's XLA scatter backward) while converging no better
+        # (audit v6 vs v5, same seeds: AP 0.333 vs 0.405). The train-side
+        # counter keeps the truncation visible either way.
+        cls_div = 4 if not train else 16
+        mask_div = 16
         cls_kw = ({**base_kw, "fallback_div": cls_div}
                   if self.roi_window_kernel else {})
 
