@@ -383,3 +383,23 @@ def test_rect_window_pads_narrow_levels_and_fits_giant_boxes(rng):
     for a, b in zip(g_h, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-4)
+
+
+def test_eval_classifier_budget_wider_than_train(rng):
+    """The inference classifier pooling must budget n//4 of exact-XLA
+    fallback (the 1000-proposal noise tail, results/audit/) while train
+    pooling keeps n//16 — pinned through hybrid_unfit_overflow, whose div
+    must match the pooling wrappers' routing."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        hybrid_unfit_overflow)
+    feats = _pyramid(rng)
+    # 320 unfit boxes (full-image forced onto P2)
+    boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+                     (320, 1))
+    lvl = jnp.zeros(320, jnp.int32)
+    ov_train = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40),
+                                     fallback_div=16)
+    ov_eval = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40),
+                                    fallback_div=4)
+    assert int(ov_train) == 320 - 320 // 16
+    assert int(ov_eval) == 320 - 320 // 4
