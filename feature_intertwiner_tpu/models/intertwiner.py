@@ -326,8 +326,13 @@ class Dev(nn.Module):
         # keeps n//16: the unfit boxes there are sampled NEGATIVES early
         # in training (their truncated features still train "background"),
         # and a measured n//4 train budget cost 27% step time (the
-        # fallback's XLA scatter backward) while converging no better
-        # (audit v6 vs v5, same seeds: AP 0.333 vs 0.405). The train-side
+        # fallback's XLA scatter backward) without converging better —
+        # same seeds/steps on the 32-image audit val: the n//4-trained
+        # model (audit v6, results/audit/prod_window_*/metrics.jsonl)
+        # scored AP 0.333-0.338, the n//16-trained model (audit v5,
+        # results/audit/roi_window_audit.json) 0.405-0.411; separately
+        # trained 32-image evals carry large variance, so this reads as
+        # "no better", not a measured 0.07 regression. The train-side
         # counter keeps the truncation visible either way.
         cls_div = 4 if not train else 16
         mask_div = 16

@@ -102,8 +102,8 @@ class _Tiling:
 
 def _bwd_kernel(tl_ref, tb_ref, tr0_ref, tsp_ref, ts_ref, tc_ref,
                 y0_ref, x08_ref,
-                oy_ref, sty_ref, ymin_ref, ymax_ref,
-                ox_ref, stx_ref, xmin_ref, xmax_ref,
+                oy_ref, sty_ref, y0f_ref, hf_ref,
+                ox_ref, stx_ref, x0f_ref, wf_ref,
                 g_ref, *rest,
                 tiling: _Tiling, sy: int, sx: int, ch: int, cw: int,
                 ru: int):
@@ -161,14 +161,20 @@ def _bwd_kernel(tl_ref, tb_ref, tr0_ref, tsp_ref, ts_ref, tc_ref,
 
         # Mᵀ = My ⊗ Mx — exact transpose of the forward kernel's M
         # (roi_align_window.py::_window_roi_kernel): hat weights
-        # w(p,t)=max(0,1-|p-t|) with out-of-range samples zeroed
+        # w(p,t)=max(0,1-|p-t|) with out-of-range samples zeroed. The
+        # validity test is the forward's LITERAL expression
+        # (py + y0f >= 0) & (py + y0f <= hf - 1) — not a precomputed-bound
+        # comparison, whose different f32 rounding path could flip a
+        # boundary tap on edge-touching boxes (ADVICE r4).
         py = oy_ref[gi] + jj * sty_ref[gi]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - yy))
-        vy = (py >= ymin_ref[gi]) & (py <= ymax_ref[gi])
+        vy = ((py + y0f_ref[gi] >= 0.0)
+              & (py + y0f_ref[gi] <= hf_ref[gi] - 1.0))
         my = jnp.where(vy, wy, 0.0)                         # [sy, RU]
         px = ox_ref[gi] + kk * stx_ref[gi]
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xx))
-        vx = (px >= xmin_ref[gi]) & (px <= xmax_ref[gi])
+        vx = ((px + x0f_ref[gi] >= 0.0)
+              & (px + x0f_ref[gi] <= wf_ref[gi] - 1.0))
         mx = jnp.where(vx, wx, 0.0)                         # [sx, RU]
         mt = (my[:, None, :] * mx[None, :, :]).reshape(sy * sx, ru)
 
@@ -247,8 +253,6 @@ def multilevel_roi_align_window_bwd(
     y0f = y0.astype(jnp.float32)
     x0f = x0.astype(jnp.float32)
     oy, ox = ys - y0f, xs - x0f                      # window-relative starts
-    ymin, ymax = -y0f, (hf - 1.0) - y0f
-    xmin, xmax = -x0f, (wf - 1.0) - x0f
 
     # tile assignment + stable sort (deterministic accumulation order)
     bases = jnp.array([L["base"] for L in tiling.levels], jnp.int32)
@@ -309,8 +313,8 @@ def multilevel_roi_align_window_bwd(
         interpret=interpret,
     )(tl, tb, tr0, tsp, tile_start, tile_cnt,
       y0[order], (x0 // 8)[order],
-      oy[order], yt[order], ymin[order], ymax[order],
-      ox[order], xt[order], xmin[order], xmax[order],
+      oy[order], yt[order], y0f[order], hf[order],
+      ox[order], xt[order], x0f[order], wf[order],
       g_sorted)
 
     d_feats = list(results[:len(out_shapes)])

@@ -339,7 +339,16 @@ def make_train_step(model, cfg, layers: str = "all",
             lambda g, m: jnp.where(m, g, 0.0), grads, tmask)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            # the overflow COUNTER is a whole-batch total (psum), matching
+            # the eval path (data_parallel.py make_parallel_eval_step) and
+            # the single-device closure — the blanket pmean below would
+            # silently turn it into a per-device average (ADVICE r4)
+            metrics["roi_unfit_overflow"] = jax.lax.psum(
+                metrics["roi_unfit_overflow"], axis_name)
+            metrics = {
+                k: (v if k == "roi_unfit_overflow"
+                    else jax.lax.pmean(v, axis_name))
+                for k, v in metrics.items()}
             if bn_learn:
                 # per-device batch shards produce per-device BN statistics;
                 # keep the replicated-state invariant (cross-replica BN mean)

@@ -62,7 +62,7 @@ def ensure_dataset(root: str, train_n: int, val_n: int,
 
 def build_cfg(variant: str, seed: int, schedule, result_folder: str,
               init_npz=None, lr=None, upsample_init="xavier",
-              upsample_residual=False):
+              upsample_residual=False, loss_fac=None):
     import jax.numpy as jnp  # noqa: F401  (defer jax import past argparse)
 
     from feature_intertwiner_tpu.config import build_config
@@ -100,7 +100,9 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
         cfg.DEV.STRUCTURE = "beta"
         cfg.DEV.BUFFER_SIZE = 1
         cfg.DEV.LOSS_CHOICE = "l2" if variant == "l2" else variant
-        cfg.DEV.LOSS_FAC = 10.0
+        # 10.0 = the configs/105 flagship recipe (lib/config.py DEV.LOSS_FAC);
+        # --loss-fac overrides it for the dose-response grid (VERDICT r4 #5)
+        cfg.DEV.LOSS_FAC = 10.0 if loss_fac is None else float(loss_fac)
         cfg.DEV.UPSAMPLE_FAC = 1.0
         cfg.DEV.BIG_FEAT_DETACH = True
         # warm-graft mitigation (VERDICT r2 #5): identity make-up init /
@@ -116,7 +118,7 @@ def build_cfg(variant: str, seed: int, schedule, result_folder: str,
 
 def run_variant(variant: str, seed: int, schedule, data_root: str,
                 init_npz=None, lr=None, run_tag="", upsample_init="xavier",
-                upsample_residual=False):
+                upsample_residual=False, loss_fac=None):
     import jax
     import jax.numpy as jnp
 
@@ -133,7 +135,7 @@ def run_variant(variant: str, seed: int, schedule, data_root: str,
     folder = os.path.join(ABLATION_DIR, f"{variant}_s{seed}{tag}")
     cfg = build_cfg(variant, seed, schedule, folder, init_npz=init_npz, lr=lr,
                     upsample_init=upsample_init,
-                    upsample_residual=upsample_residual)
+                    upsample_residual=upsample_residual, loss_fac=loss_fac)
     loader, val, val_api = get_data(cfg, data_root=data_root)
     cfg.DATASET.NUM_CLASSES = val.num_classes
 
@@ -381,6 +383,10 @@ def main():
                     help="pretrained overlay (paper-regime fine-tune); "
                          "results tagged <variant>_ft")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--loss-fac", type=float, default=None,
+                    help="DEV.LOSS_FAC override (default: the flagship "
+                         "recipe's 10.0); combine with --tag facN so dose "
+                         "arms get their own record names")
     ap.add_argument("--upsample-init", default="xavier",
                     choices=["xavier", "identity"],
                     help="make-up layer kernel init (warm-graft mitigation)")
@@ -431,7 +437,8 @@ def main():
             run_variant(variant, seed, schedule, data_root,
                         init_npz=args.init_npz, lr=args.lr, run_tag=run_tag,
                         upsample_init=args.upsample_init,
-                        upsample_residual=args.upsample_residual)
+                        upsample_residual=args.upsample_residual,
+                        loss_fac=args.loss_fac)
     else:
         # one fresh interpreter per arm: a multi-arm sweep in one process
         # accumulates ~15 GB of host RSS per arm (jit executables + live
@@ -450,6 +457,8 @@ def main():
                 cmd += ["--init-npz", args.init_npz]
             if args.lr is not None:
                 cmd += ["--lr", str(args.lr)]
+            if args.loss_fac is not None:
+                cmd += ["--loss-fac", str(args.loss_fac)]
             if args.tag:
                 cmd += ["--tag", args.tag]
             if args.upsample_init != "xavier":

@@ -8,8 +8,12 @@ Two parts, one tracked record (results/audit/roi_window_audit.json):
    A synthetic overfit to a CONVERGED operating point (the learn_check
    recipe at full resolution) produces real detections, then the SAME
    params are evaluated twice — `TPU.ROI_WINDOW_KERNEL` off (pure XLA
-   gather) vs on (window-DMA Pallas hybrid) — asserting the COCO stats
-   agree to tolerance.
+   gather) vs on (window-DMA Pallas hybrid) — asserting ALL 12 COCO
+   stats agree to PROD_TOL on a 128-image val set (the exact gate is
+   recorded in the artifact's `pass_criterion` field). Earlier audit
+   versions used 32 images, where area-bucket stats have ~one-detection
+   granularity and only the headline AP family could gate (ADVICE r4 /
+   VERDICT r4 weak #2) — 128 images gives every stat enough support.
 
    What "agree" can mean here, honestly: eval pools the full
    POST_NMS_ROIS_INFERENCE=1000 proposals per image, and the low-score
@@ -53,9 +57,13 @@ CTRL_CKPT_RUN = os.path.join(REPO, "results", "ablation", "l2_s2_pc")
 STAT_NAMES = ["AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
               "AR1", "AR10", "AR100", "AR_small", "AR_medium", "AR_large"]
 # bf16 rounding (maxerr ~2e-2 on pooled features) can flip borderline
-# detections, and on a 16-image val set one flip moves a stat by ~0.01
+# detections; at 128 val images one flip moves a stat by ~0.0025-0.005,
+# so every stat (area buckets included) can gate at this tolerance
 PROD_TOL = 0.02
 PROD_MIN_AP = 0.35  # converged-enough guard for the gather-path eval
+PROD_VAL_IMAGES = 128
+PROD_CRITERION = (f"max|d(all 12 COCO stats)| <= {PROD_TOL} on "
+                  f"{PROD_VAL_IMAGES} images AND gather AP >= {PROD_MIN_AP}")
 
 
 def _overflow_from(folder):
@@ -84,10 +92,11 @@ def prod_audit():
                                                     make_train_step)
     from feature_intertwiner_tpu.train.workflow import test_model
 
-    root = os.path.join(AUDIT_DIR, "data_1024v2")
+    root = os.path.join(AUDIT_DIR, "data_1024v3")
     if not os.path.exists(os.path.join(root, "annotations",
                                        "instances_minival2014.json")):
-        synthetic.generate(root, num_images=32, size=(768, 1024), seed=7)
+        synthetic.generate(root, num_images=PROD_VAL_IMAGES,
+                           size=(768, 1024), seed=7)
 
     cfg = build_config()
     cfg.CTRL.QUICK_VERIFY = True
@@ -128,7 +137,10 @@ def prod_audit():
 
     t0 = time.time()
     rng = jax.random.PRNGKey(42)
-    steps = int(os.environ.get("AUDIT_STEPS", "500"))
+    # QUICK_VERIFY trains on the val set itself; at 128 images 1500 steps
+    # (b4 ≈ 47 epochs) reaches the same converged operating point the old
+    # 32-image/500-step audit did (~62 epochs)
+    steps = int(os.environ.get("AUDIT_STEPS", "1500"))
     train_overflow = 0.0
     for it in range(1, steps + 1):
         rng, sub = jax.random.split(rng)
@@ -164,16 +176,13 @@ def prod_audit():
 
     diff = max(abs(out["prod_window_on"]["stats"][k]
                    - out["prod_window_off"]["stats"][k]) for k in STAT_NAMES)
-    # the pass criterion uses the LARGE-SUPPORT stats: area-bucket stats
-    # on a 32-image synthetic set have ~one-detection granularity (a
-    # single bf16-rounding flip moves AR_medium by ~0.02) — report them
-    # all, but gate on the headline overall-AP family
     head_diff = max(abs(out["prod_window_on"]["stats"][k]
                         - out["prod_window_off"]["stats"][k])
                     for k in ("AP", "AP50", "AP75"))
     gather_ap = out["prod_window_off"]["stats"]["AP"]
     return {
         "geometry": "1024x1024, pyramid 256/128/64/32, window (32, 40)",
+        "val_images": PROD_VAL_IMAGES,
         "train_steps": steps,
         "train_roi_unfit_overflow": train_overflow,
         "stats_gather": out["prod_window_off"]["stats"],
@@ -185,7 +194,10 @@ def prod_audit():
         "eval_roi_unfit_overflow_window": out["prod_window_on"]["overflow"],
         "tolerance": PROD_TOL,
         "converged_guard_min_ap": PROD_MIN_AP,
-        "pass": bool(head_diff <= PROD_TOL and gather_ap >= PROD_MIN_AP),
+        # the gate, stated in the artifact itself (ADVICE r4): ALL 12
+        # stats at 128 images — no stat is excluded from the criterion
+        "pass_criterion": PROD_CRITERION,
+        "pass": bool(diff <= PROD_TOL and gather_ap >= PROD_MIN_AP),
     }
 
 
@@ -244,6 +256,7 @@ def control_audit():
         "max_abs_stat_diff": diff,
         "eval_roi_unfit_overflow_window": out["window_on"]["overflow"],
         # the channel is instrumented: truncation is loud, not silent
+        "pass_criterion": "forced-truncation overflow counter > 0",
         "pass": bool(out["window_on"]["overflow"]
                      and out["window_on"]["overflow"] > 0),
     }
