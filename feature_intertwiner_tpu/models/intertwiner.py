@@ -208,33 +208,39 @@ class Dev(nn.Module):
     # (ops/roi_align_window.py, 1.26-1.62x on v5e; hybrid-exact fallback)
     roi_window_kernel: bool = False
     # TPU.ROI_WINDOW_SIZE: static DMA window side (cells). Must be a
-    # multiple of 8 (sublane alignment); every pyramid map must be at
-    # least this big or the wrapper falls back to pure XLA entirely. The
+    # multiple of 8 (sublane alignment). The kernel is resolution-general
+    # (short maps are zero-padded per axis); only a pyramid whose base map
+    # is under twice this side falls back to pure XLA (tiny images). The
     # actual window is rectangular — (side, side+8) — the +8 x-pad absorbs
     # the sublane-aligned DMA origin's worst-case 7-cell loss, which
     # otherwise unfits the upper size band of every FPN level (measured:
-    # 97.4% -> 99.6% fit on a log-uniform ar<=3 RoI mix).
+    # 97.4% -> 99.6% fit on a log-uniform ar<=3 RoI mix). The inference
+    # classifier pooling adds wide-flat/tall-thin shape-class windows
+    # derived from this side (ops/roi_align_window.py::shape_class_windows).
     roi_window: int = 32
     dtype: Any = jnp.float32
 
     def _sow_unfit_overflow(self, feats, flat_rois, level_idx, crops,
-                            window=(32, 40), divs=None):
+                            window=(32, 40), divs=None, classed=None):
         """Surface the window-hybrid's silent-degradation counter
         (ops/roi_align_window.py::hybrid_unfit_overflow) into the
         'diagnostics' collection — harvested by train/step.py and
         test_model into metrics.jsonl (VERDICT r3 #3). No-op unless the
-        window kernel is on and 'diagnostics' is mutable. ``divs`` aligns
-        a fallback budget divisor to each crop (the inference classifier
-        pooling runs a 4 where train/mask use the default 16)."""
+        window kernel is on and 'diagnostics' is mutable. ``divs`` /
+        ``classed`` align each crop's fallback budget divisor and
+        shape-classes flag to the matching pooling call so the counter
+        measures exactly what the pooling silently truncates."""
         if not self.roi_window_kernel or self.is_initializing():
             return
         if divs is None:
             divs = [16] * len(crops)
+        if classed is None:
+            classed = [False] * len(crops)
         ov = jnp.zeros((), jnp.int32)
-        for crop, div in zip(crops, divs):
+        for crop, div, sc in zip(crops, divs, classed):
             ov = ov + hybrid_unfit_overflow(
                 feats, flat_rois, level_idx, (crop, crop), window,
-                fallback_div=div)
+                fallback_div=div, shape_classes=sc)
         self.sow("diagnostics", "roi_unfit_overflow", ov,
                  init_fn=lambda: jnp.zeros((), jnp.int32),
                  reduce_fn=lambda a, b: a + b)
@@ -320,23 +326,30 @@ class Dev(nn.Module):
         base_kw = ({"window": base_win} if self.roi_window_kernel else {})
         # The inference classifier pools the full 1000-proposal list whose
         # low-score noise tail has arbitrary aspect ratios (~12.7%
-        # window-unfit measured) — widen the exact-XLA fallback budget to
-        # n//4 there so eval detections are exact (the product-facing
-        # guarantee, results/audit/roi_window_audit.json). Train pooling
-        # keeps n//16: the unfit boxes there are sampled NEGATIVES early
-        # in training (their truncated features still train "background"),
-        # and a measured n//4 train budget cost 27% step time (the
-        # fallback's XLA scatter backward) without converging better —
-        # same seeds/steps on the 32-image audit val: the n//4-trained
-        # model (audit v6, results/audit/prod_window_*/metrics.jsonl)
-        # scored AP 0.333-0.338, the n//16-trained model (audit v5,
+        # window-unfit at the single (32, 40) window) — it runs with the
+        # wide-flat/tall-thin SHAPE CLASSES on (shape_class_windows), so
+        # extreme aspects pool in-kernel and the exact-XLA fallback budget
+        # stays at n//16 (round 4 paid n//4 ≈ 8% R50 throughput for the
+        # same exactness guarantee — VERDICT r4 #3; the detection-level
+        # guarantee is re-audited in results/audit/roi_window_audit.json).
+        # Train pooling keeps single-class n//16: the unfit boxes there
+        # are sampled NEGATIVES early in training (their truncated
+        # features still train "background"), the multi-class backward
+        # would route through the XLA transpose (roi_align_window.py::
+        # _hybrid_bwd), and a measured n//4 train budget cost 27% step
+        # time without converging better — same seeds/steps on the
+        # 32-image audit val: the n//4-trained model (audit v6,
+        # results/audit/prod_window_*/metrics.jsonl) scored AP
+        # 0.333-0.338, the n//16-trained model (audit v5,
         # results/audit/roi_window_audit.json) 0.405-0.411; separately
         # trained 32-image evals carry large variance, so this reads as
         # "no better", not a measured 0.07 regression. The train-side
         # counter keeps the truncation visible either way.
-        cls_div = 4 if not train else 16
+        cls_div = 16
         mask_div = 16
-        cls_kw = ({**base_kw, "fallback_div": cls_div}
+        cls_classed = not train
+        cls_kw = ({**base_kw, "fallback_div": cls_div,
+                   "shape_classes": cls_classed}
                   if self.roi_window_kernel else {})
 
         if not self.use_dev:
@@ -358,7 +371,9 @@ class Dev(nn.Module):
                 + ([self.mask_pool_size] if need_mask else []),
                 window=base_win,
                 divs=([cls_div] if need_cls else [])
-                + ([mask_div] if need_mask else []))
+                + ([mask_div] if need_mask else []),
+                classed=([cls_classed] if need_cls else []) + (
+                    [False] if need_mask else []))
             return pooled_cls, pooled_mask, None
 
         lvl, meta_levels = self._assign_levels(
@@ -397,7 +412,8 @@ class Dev(nn.Module):
             pool_kw = {"window": (w, w + 8)}
         if self.roi_method == "roi_align":
             if need_cls:
-                kw = ({**pool_kw, "fallback_div": cls_div}
+                kw = ({**pool_kw, "fallback_div": cls_div,
+                       "shape_classes": cls_classed}
                       if self.roi_window_kernel else pool_kw)
                 pooled_cls = ml_pool(
                     ups, flat_rois, box_idx, (self.pool_size,) * 2,
@@ -414,7 +430,9 @@ class Dev(nn.Module):
                 + ([self.mask_pool_size] if need_pooled_mask else []),
                 window=pool_kw.get("window", (32, 40)),
                 divs=([cls_div] if need_cls else [])
-                + ([mask_div] if need_pooled_mask else []))
+                + ([mask_div] if need_pooled_mask else []),
+                classed=([cls_classed] if need_cls else []) + (
+                    [False] if need_pooled_mask else []))
         elif self.roi_method == "roi_pool":
             if need_cls:
                 pooled_cls = self._roi_pool_multilevel(

@@ -62,17 +62,25 @@ def _pad_up(n: int, m: int) -> int:
 
 
 def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
-                       *level_refs_and_out, bt, sy, sx, ch, cw, ru,
+                       *level_refs_and_out, bt, windows, ch, cw, ru,
                        dims):
-    """pk_ref SMEM [N] int32 = lvl + b·4 + (x0//8)·2^8 + y0·2^16;
+    """pk_ref SMEM [N] int32 = lvl + b·4 + (x0//8)·2^8 + cls·2^16 + y0·2^18;
     y1/x1/y2/x2 SMEM [N] f32 normalized box coords;
     level_refs: len(dims) ANY refs [B,H_l,W_l,C]; out VMEM [BT, RU, C];
-    scratch VMEM [2, sy, sx, C]; sems DMA [2]; dims = static (H_l, W_l)."""
+    one scratch VMEM [2, sy_k, sx_k, C] per window class; sems DMA [2];
+    dims = static LOGICAL (H_l, W_l).
+
+    ``windows`` is the tuple of shape-class windows (≤4, the 2-bit cls
+    field). Every box carries its class in the packed word; each class has
+    its own double-buffered scratch and its own separable-M build, so the
+    per-box cost stays one DMA + one MXU matmul at that class's window
+    size regardless of how many classes exist."""
     nlevels = len(dims)
+    ncls = len(windows)
     level_refs = level_refs_and_out[:nlevels]
     out_ref = level_refs_and_out[nlevels]
-    scratch = level_refs_and_out[nlevels + 1]
-    sems = level_refs_and_out[nlevels + 2]
+    scratches = level_refs_and_out[nlevels + 1:nlevels + 1 + ncls]
+    sems = level_refs_and_out[nlevels + 1 + ncls]
     ti = pl.program_id(0)
     c = out_ref.shape[-1]
 
@@ -81,50 +89,61 @@ def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
         lvl = v % 4
         b = (v // 4) % 64
         x08 = (v // (2 ** 8)) % (2 ** 8)
-        y0 = v // (2 ** 16)
-        return lvl, b, y0, x08
+        kc = (v // (2 ** 16)) % 4
+        y0 = v // (2 ** 18)
+        return lvl, b, y0, x08, kc
+
+    def dma_for(k, l, slot, b, y0, x08):
+        sy, sx = windows[k]
+        return pltpu.make_async_copy(
+            level_refs[l].at[b, pl.ds(y0, sy), pl.ds(x08 * 8, sx), :],
+            scratches[k].at[slot],
+            sems.at[slot],
+        )
 
     def start_dma(slot, i):
-        lvl, b, y0, x08 = unpack(i)
-        for l in range(nlevels):
-            @pl.when(lvl == l)
-            def _(l=l):
-                pltpu.make_async_copy(
-                    level_refs[l].at[b, pl.ds(y0, sy), pl.ds(x08 * 8, sx), :],
-                    scratch.at[slot],
-                    sems.at[slot],
-                ).start()
+        lvl, b, y0, x08, kc = unpack(i)
+        for k in range(ncls):
+            @pl.when(kc == k)
+            def _(k=k):
+                for l in range(nlevels):
+                    @pl.when(lvl == l)
+                    def _(k=k, l=l):
+                        dma_for(k, l, slot, b, y0, x08).start()
 
     def wait_dma(slot, i):
-        lvl, b, y0, x08 = unpack(i)
-        for l in range(nlevels):
-            @pl.when(lvl == l)
-            def _(l=l):
-                pltpu.make_async_copy(
-                    level_refs[l].at[b, pl.ds(y0, sy), pl.ds(x08 * 8, sx), :],
-                    scratch.at[slot],
-                    sems.at[slot],
-                ).wait()
+        lvl, b, y0, x08, kc = unpack(i)
+        for k in range(ncls):
+            @pl.when(kc == k)
+            def _(k=k):
+                for l in range(nlevels):
+                    @pl.when(lvl == l)
+                    def _(k=k, l=l):
+                        dma_for(k, l, slot, b, y0, x08).wait()
 
     start_dma(0, 0)
 
-    # Index planes for the SEPARABLE M build, shared across boxes. The
-    # bilinear matrix factors exactly: M[r,(y,x)] = my[y,r]·mx[x,r] with
-    # my = hat(py_r − y)·valid_y and mx likewise (hat and validity each
-    # depend on one axis only) — so the per-box VPU work is ~8 ops on two
-    # [S, RU] planes plus ONE outer-product multiply on [Sy·Sx, RU],
-    # instead of ~8 ops on the full M plane (~7x less VPU). Built in the
-    # TRANSPOSED [window, RU] orientation so the outer-product collapse
-    # [Sy, Sx, RU] -> [Sy·Sx, RU] merges LEADING dims (the lane dim stays
-    # intact — the same constraint the win collapse below satisfies).
-    jj = (lax.broadcasted_iota(jnp.int32, (sy, ru), 1)
-          // cw).astype(jnp.float32)             # output row of the crop
-    yy = lax.broadcasted_iota(                   # window row (int iota:
-        jnp.int32, (sy, ru), 0).astype(jnp.float32)  # tpu.iota is int-only)
-    kk = (lax.broadcasted_iota(jnp.int32, (sx, ru), 1)
-          % cw).astype(jnp.float32)              # output col of the crop
-    xx = lax.broadcasted_iota(
-        jnp.int32, (sx, ru), 0).astype(jnp.float32)  # window col
+    # Index planes for the SEPARABLE M build, shared across boxes and built
+    # once per class. The bilinear matrix factors exactly:
+    # M[r,(y,x)] = my[y,r]·mx[x,r] with my = hat(py_r − y)·valid_y and mx
+    # likewise (hat and validity each depend on one axis only) — so the
+    # per-box VPU work is ~8 ops on two [S, RU] planes plus ONE
+    # outer-product multiply on [Sy·Sx, RU], instead of ~8 ops on the full
+    # M plane (~7x less VPU). Built in the TRANSPOSED [window, RU]
+    # orientation so the outer-product collapse [Sy, Sx, RU] ->
+    # [Sy·Sx, RU] merges LEADING dims (the lane dim stays intact — the
+    # same constraint the win collapse below satisfies).
+    planes = []
+    for (sy, sx) in windows:
+        jj = (lax.broadcasted_iota(jnp.int32, (sy, ru), 1)
+              // cw).astype(jnp.float32)         # output row of the crop
+        yy = lax.broadcasted_iota(               # window row (int iota:
+            jnp.int32, (sy, ru), 0).astype(jnp.float32)  # tpu.iota int-only
+        kk = (lax.broadcasted_iota(jnp.int32, (sx, ru), 1)
+              % cw).astype(jnp.float32)          # output col of the crop
+        xx = lax.broadcasted_iota(
+            jnp.int32, (sx, ru), 0).astype(jnp.float32)  # window col
+        planes.append((jj, yy, kk, xx))
 
     def level_const(lvl, values):
         out = jnp.float32(values[-1])
@@ -152,7 +171,7 @@ def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
 
         wait_dma(slot, i)
 
-        lvl, _b, y0, x08 = unpack(i)
+        lvl, _b, y0, x08, kc = unpack(i)
         hf = level_const(lvl, [d[0] for d in dims])
         wf = level_const(lvl, [d[1] for d in dims])
         y0f = y0.astype(jnp.float32)
@@ -160,23 +179,29 @@ def _window_roi_kernel(pk_ref, y1_ref, x1_ref, y2_ref, x2_ref,
         sy_abs, sty = grid_1d(y1_ref[g], y2_ref[g], ch, hf)
         sx_abs, stx = grid_1d(x1_ref[g], x2_ref[g], cw, wf)
 
-        py = (sy_abs - y0f) + jj * sty            # window-relative sample y
-        px = (sx_abs - x0f) + kk * stx
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - yy))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xx))
-        vy = (py + y0f >= 0.0) & (py + y0f <= hf - 1.0)
-        vx = (px + x0f >= 0.0) & (px + x0f <= wf - 1.0)
-        my = jnp.where(vy, wy, 0.0)               # [Sy, RU]
-        mx = jnp.where(vx, wx, 0.0)               # [Sx, RU]
-        mt = (my[:, None, :] * mx[None, :, :]).reshape(sy * sx, ru)
+        for k, (sy, sx) in enumerate(windows):
+            @pl.when(kc == k)
+            def _(k=k, sy=sy, sx=sx):
+                jj, yy, kk, xx = planes[k]
+                py = (sy_abs - y0f) + jj * sty    # window-relative sample y
+                px = (sx_abs - x0f) + kk * stx
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - yy))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xx))
+                vy = (py + y0f >= 0.0) & (py + y0f <= hf - 1.0)
+                vx = (px + x0f >= 0.0) & (px + x0f <= wf - 1.0)
+                my = jnp.where(vy, wy, 0.0)       # [Sy, RU]
+                mx = jnp.where(vx, wx, 0.0)       # [Sx, RU]
+                mt = (my[:, None, :] * mx[None, :, :]).reshape(sy * sx, ru)
 
-        win = scratch[slot].reshape(sy * sx, c).astype(jnp.float32)
-        # out = Mᵀᵀ @ win — contraction over the shared leading (window)
-        # dim; Mosaic lowers the lhs-transposed matmul natively
-        vals = lax.dot_general(
-            mt, win, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[i, :, :] = vals.astype(out_ref.dtype)
+                win = scratches[k][slot].reshape(
+                    sy * sx, c).astype(jnp.float32)
+                # out = Mᵀᵀ @ win — contraction over the shared leading
+                # (window) dim; Mosaic lowers the lhs-transposed matmul
+                # natively
+                vals = lax.dot_general(
+                    mt, win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_ref[i, :, :] = vals.astype(out_ref.dtype)
         return 0
 
     lax.fori_loop(0, bt, body, 0)
@@ -197,30 +222,65 @@ def _grid_params(boxes, level_idx, heights, widths, crop, axis):
 
 
 def phys_widths_for(widths, sx):
-    """Physical (zero-padded) map widths for window x-span ``sx``: levels
-    narrower than the window are padded up to it so a window can always be
-    DMA'd (out-of-map cells read zeros = their exact contribution)."""
-    return jnp.maximum(jnp.asarray(widths, jnp.int32), jnp.int32(sx))
+    """Physical (zero-padded) map widths for window x-span ``sx``.
+
+    Two requirements: (a) levels narrower than the window are padded up to
+    it so a window can always be DMA'd (out-of-map cells read zeros =
+    their exact contribution); (b) widths are rounded up to the 8-cell
+    sublane tile — with ``sx`` a multiple of 8, the DMA-origin clamp bound
+    (phys − sx) is then itself 8-aligned, so clipping + re-aligning can
+    never slide a right-edge box's window below its span (a box with
+    hi ≤ W−1 always fits: span from the clamped origin ≤ sx + W −
+    pad_up(W, 8) ≤ sx). Maps whose width is already a multiple of 8
+    (all 1024² pyramid levels) are untouched."""
+    w = jnp.asarray(widths, jnp.int32)
+    return jnp.maximum((w + 7) // 8 * 8, jnp.int32(sx))
+
+
+def shape_class_windows(window):
+    """Shape-class window set derived from the primary ``window`` geometry.
+
+    The primary (sy, sy+8) covers the FPN assignment band's square-ish
+    footprints (≤ ~sy cells per axis — level assignment is by absolute
+    pixel size vs strides, so footprints in CELLS are image-scale
+    invariant). Two equal-VMEM-budget aspect classes extend coverage to
+    the proposal noise tail's extreme shapes (VERDICT r4 #3):
+
+      wide-flat : (sy/2, 2·sy+8↑8) — half the rows, double+slack columns
+      tall-thin : (2·sy, sy/2+8↑8) — double rows, the x-align slack only
+
+    (↑8 = rounded up to the 8-wide sublane tile.) For sy=32 this is
+    ((32, 40), (16, 72), (64, 24)): y/x capacities (post the worst-case
+    7-cell x-align loss) of 32/33, 16/65 and 64/17 cells."""
+    sy, sx = window
+    wide = (max(sy // 2, 8), _pad_up(2 * sy + 8, 8))
+    tall = (2 * sy, _pad_up(sy // 2 + 8, 8))
+    return ((sy, sx), wide, tall)
 
 
 def window_origins_and_fits(boxes, level_idx, heights, widths, crop_size,
-                            window, phys_widths=None):
+                            window, phys_widths=None, phys_heights=None):
     """Per-box DMA window origin + fit test — pure box math, no feature
     reads, so callers can also use it standalone as a cheap overflow
     diagnostic (VERDICT r3 #3). Returns (y0 [N] i32, x0 [N] i32, fits [N]).
 
-    ``phys_widths``: per-level PHYSICAL widths when the feature arrays are
-    zero-padded beyond the logical ``widths`` (the x-span may exceed a
-    level's logical width — e.g. the default rectangular (32, 40) window on
-    the 32-cell P5 map). Validity/taps use the logical dims; only the DMA
-    reach (origin clamp) uses the physical dims."""
+    ``phys_widths`` / ``phys_heights``: per-level PHYSICAL dims when the
+    feature arrays are zero-padded beyond the logical dims (a span may
+    exceed a level's logical size — e.g. the default rectangular (32, 40)
+    window on the 32-cell P5 map, or any map of an image below 1024²).
+    Validity/taps use the logical dims; only the DMA reach (origin clamp)
+    uses the physical dims."""
     ch, cw = crop_size
     sy, sx = window
     ys, yt, hf = _grid_params(boxes, level_idx, heights, widths, ch, axis=0)
     xs, xt, wf = _grid_params(boxes, level_idx, heights, widths, cw, axis=1)
     if phys_widths is None:
         phys_widths = phys_widths_for(widths, sx)
+    if phys_heights is None:
+        phys_heights = jnp.maximum(jnp.asarray(heights, jnp.int32),
+                                   jnp.int32(sy))
     pw = phys_widths[level_idx].astype(jnp.float32)
+    ph = phys_heights[level_idx].astype(jnp.float32)
 
     def origin_and_fit(start, step, crop, dim, phys_dim, span, align=1):
         # align: Mosaic requires dynamic HBM slice starts in the lane-tiled
@@ -246,13 +306,15 @@ def window_origins_and_fits(boxes, level_idx, heights, widths, crop_size,
         fits = hi - o + 1.0 <= span
         return o.astype(jnp.int32), fits
 
-    y0, fit_y = origin_and_fit(ys, yt, ch, hf, hf, float(sy))
+    y0, fit_y = origin_and_fit(ys, yt, ch, hf, ph, float(sy))
     x0, fit_x = origin_and_fit(xs, xt, cw, wf, pw, float(sx), align=8)
     return y0, x0, fit_y & fit_x
 
 
 @functools.partial(
-    jax.jit, static_argnames=("crop_size", "window", "box_tile", "interpret"))
+    jax.jit,
+    static_argnames=("crop_size", "window", "windows", "box_tile",
+                     "interpret"))
 def multilevel_roi_align_window(
     features: Sequence[jax.Array],
     boxes: jax.Array,
@@ -260,67 +322,103 @@ def multilevel_roi_align_window(
     level_idx: jax.Array,
     crop_size: Tuple[int, int],
     window: Tuple[int, int] = (32, 40),
+    windows: Tuple[Tuple[int, int], ...] = None,
     box_tile: int = 64,
     interpret: bool = False,
 ):
     """FPN RoIAlign via per-box window DMA.
 
-    features: [P2..P5] NHWC (each H,W >= window); boxes [N,4] normalized;
-    box_indices [N] int32; level_idx [N] int32 in [0, len(features)).
-    Returns (crops [N, ch, cw, C], fits [N] bool). Values for ``~fits``
-    boxes drop out-of-window taps — route those through the XLA path.
+    features: [P2..P5] NHWC (maps smaller than a window span are
+    zero-padded — the kernel is resolution-general, VERDICT r4 #3);
+    boxes [N,4] normalized; box_indices [N] int32; level_idx [N] int32 in
+    [0, len(features)). ``windows`` (≤4 shape classes, default just
+    ``window``): each box uses the FIRST class whose span fits its
+    footprint; class 0 is also the truncation window for boxes fitting
+    none. Returns (crops [N, ch, cw, C], fits [N] bool — any class fits).
+    Values for ``~fits`` boxes drop out-of-window taps — route those
+    through the XLA path.
     """
     ch, cw = crop_size
-    sy, sx = window
+    if windows is None:
+        windows = (tuple(window),)
     n = boxes.shape[0]
     c = features[0].shape[-1]
     nlevels = len(features)
     dims = tuple((f.shape[1], f.shape[2]) for f in features)  # LOGICAL dims
-    for f in features:
-        assert f.shape[1] >= sy and f.shape[2] >= sy, (f.shape, window)
-    assert sx % 8 == 0, "window width must be sublane-aligned"
+    for (sy, sx) in windows:
+        assert sx % 8 == 0, "window width must be sublane-aligned"
+    assert 1 <= len(windows) <= 4, "2-bit class field"
     assert n > 0, "window kernel needs >=1 box (callers route n==0 to XLA)"
-    # Levels narrower than the x-span are zero-padded up to it (the
-    # rectangular default window's +8 x-pad exceeds e.g. the 32-cell P5
-    # map). Out-of-map taps are masked by the logical-dim validity, so the
+    sy_max = max(sy for sy, _ in windows)
+    sx_max = max(sx for _, sx in windows)
+    sy_min = min(sy for sy, _ in windows)
+    sx_min = min(sx for _, sx in windows)
+    # Levels smaller than any class's span are zero-padded up to the max
+    # span in that axis (e.g. the rectangular default's +8 x-pad exceeds
+    # the 32-cell P5 map; every map of an 800² image is shorter than the
+    # tall class), and widths additionally round up to the 8-cell sublane
+    # tile (phys_widths_for: keeps the aligned origin clamp from unfitting
+    # right-edge boxes on non-multiple-of-8 maps, e.g. 800²'s 100-wide
+    # P3). Out-of-map taps are masked by the logical-dim validity, so the
     # padding cells' zeros are exactly their true contribution.
-    features = [f if f.shape[2] >= sx
-                else jnp.pad(f, ((0, 0), (0, 0), (0, sx - f.shape[2]),
-                                 (0, 0)))
-                for f in features]
-    # packed-word capacity (lvl 2b | batch 6b | x0//8 8b | y0 15b) — exceeding
-    # any field would silently wrap and DMA windows from the wrong image/offset
+    def _phys_hw(f):
+        return (max(f.shape[1], sy_max),
+                max((f.shape[2] + 7) // 8 * 8, sx_max))
+
+    features = [
+        f if (f.shape[1], f.shape[2]) == _phys_hw(f)
+        else jnp.pad(f, ((0, 0), (0, _phys_hw(f)[0] - f.shape[1]),
+                         (0, _phys_hw(f)[1] - f.shape[2]), (0, 0)))
+        for f in features]
+    # packed-word capacity (lvl 2b | batch 6b | x0//8 8b | cls 2b | y0 13b)
+    # — exceeding any field would silently wrap and DMA windows from the
+    # wrong image/offset
     assert nlevels <= 4, nlevels
     assert features[0].shape[0] <= 64, (
         f"batch {features[0].shape[0]} > 64 overflows the 6-bit batch field")
     for f in features:
-        assert (f.shape[2] - sx) // 8 < 256, (
+        assert (f.shape[2] - sx_min) // 8 < 256, (
             f"level width {f.shape[2]} overflows the 8-bit x0//8 field")
-        assert f.shape[1] - sy < 2 ** 15, f.shape
+        assert f.shape[1] - sy_min < 2 ** 13, f.shape
     heights = jnp.array([d[0] for d in dims], jnp.int32)
     widths = jnp.array([d[1] for d in dims], jnp.int32)
+    phys_heights = jnp.array([f.shape[1] for f in features], jnp.int32)
+    phys_widths = jnp.array([f.shape[2] for f in features], jnp.int32)
 
-    y0, x0, fits = window_origins_and_fits(
-        boxes, level_idx, heights, widths, crop_size, window)
+    # per-class origins + fit, then each box takes the first fitting class
+    # (class 0 when none fits — its window truncates the out-of-range taps)
+    per_cls = [window_origins_and_fits(
+        boxes, level_idx, heights, widths, crop_size, w,
+        phys_widths=phys_widths, phys_heights=phys_heights)
+        for w in windows]
+    y0, x0, fits = per_cls[0]
+    cls = jnp.zeros_like(level_idx)
+    for k in range(1, len(windows)):
+        y0k, x0k, fitk = per_cls[k]
+        take = ~fits & fitk
+        cls = jnp.where(take, k, cls)
+        y0 = jnp.where(take, y0k, y0)
+        x0 = jnp.where(take, x0k, x0)
+        fits = fits | fitk
 
     bt = min(box_tile, n)
     n_pad = _pad_up(n, bt)
     ru = _pad_up(ch * cw, 8)
 
-    # one packed int32 per box (SMEM budget — see module docstring):
-    # lvl (2b) | batch (6b) | x0//8 (8b) | y0 (12b)
+    # one packed int32 per box (SMEM budget — see module docstring)
     packed = (level_idx.astype(jnp.int32)
               + box_indices.astype(jnp.int32) * 4
               + (x0 // 8) * (2 ** 8)
-              + y0 * (2 ** 16))
+              + cls * (2 ** 16)
+              + y0 * (2 ** 18))
     coords = [boxes[:, i].astype(jnp.float32) for i in range(4)]
     if n_pad != n:
         packed = jnp.pad(packed, (0, n_pad - n))
         coords = [jnp.pad(v, (0, n_pad - n)) for v in coords]
 
     kernel = functools.partial(
-        _window_roi_kernel, bt=bt, sy=sy, sx=sx, ch=ch, cw=cw, ru=ru,
-        dims=dims)
+        _window_roi_kernel, bt=bt, windows=tuple(windows), ch=ch, cw=cw,
+        ru=ru, dims=dims)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_pad // bt,),
@@ -328,7 +426,9 @@ def multilevel_roi_align_window(
         out_specs=pl.BlockSpec((bt, ru, c), lambda ti, *_: (ti, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, sy, sx, c), features[0].dtype),
+            pltpu.VMEM((2, sy, sx, c), features[0].dtype)
+            for (sy, sx) in windows
+        ] + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -349,15 +449,15 @@ def multilevel_roi_align_window(
 # ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _window_hybrid(features, boxes, box_indices, level_idx, crop_size,
-                   window, fallback_k, interpret):
+                   windows, fallback_k, interpret):
     return _hybrid_fwd_impl(features, boxes, box_indices, level_idx,
-                            crop_size, window, fallback_k, interpret)
+                            crop_size, windows, fallback_k, interpret)
 
 
 def _hybrid_fwd_impl(features, boxes, box_indices, level_idx, crop_size,
-                     window, fallback_k, interpret):
+                     windows, fallback_k, interpret):
     crops, fits = multilevel_roi_align_window(
-        features, boxes, box_indices, level_idx, crop_size, window=window,
+        features, boxes, box_indices, level_idx, crop_size, windows=windows,
         interpret=interpret)
     n = boxes.shape[0]
     k = min(n, fallback_k)
@@ -376,20 +476,27 @@ def _hybrid_fwd_impl(features, boxes, box_indices, level_idx, crop_size,
     return merged
 
 
-def _hybrid_fwd(features, boxes, box_indices, level_idx, crop_size, window,
+def _hybrid_fwd(features, boxes, box_indices, level_idx, crop_size, windows,
                 fallback_k, interpret):
     out = _hybrid_fwd_impl(features, boxes, box_indices, level_idx,
-                           crop_size, window, fallback_k, interpret)
+                           crop_size, windows, fallback_k, interpret)
     return out, (features, boxes, box_indices, level_idx)
 
 
-def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
+def _hybrid_bwd(crop_size, windows, fallback_k, interpret, res, g):
     features, boxes, box_indices, level_idx = res
     feat_shapes = tuple(tuple(f.shape) for f in features)
+    window = windows[0]
 
     from .roi_align_window_bwd import (
         bwd_kernel_supported, multilevel_roi_align_window_bwd)
-    if bwd_kernel_supported(feat_shapes, window):
+    # Shape-classed pooling (len(windows) > 1) is an EVAL-side feature
+    # (models/intertwiner.py uses it only on the no-grad inference
+    # classifier pooling); its backward takes the exact-XLA transpose
+    # below — exact for every box that fits some class (the forward is the
+    # exact pooling there), approximate only for unfit boxes past the
+    # fallback budget, whose forward values are already tap-truncated.
+    if len(windows) == 1 and bwd_kernel_supported(feat_shapes, window):
         # TPU-native backward (VERDICT r3 #4): strip-tiled Pallas
         # accumulation instead of the XLA gather-transpose scatter-add.
         # Mirror the forward's routing exactly — boxes whose forward value
@@ -444,18 +551,42 @@ def _hybrid_bwd(crop_size, window, fallback_k, interpret, res, g):
 _window_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
-def _window_path_active(features, window):
+def _window_path_active(features, windows):
     """True when multilevel_crop_and_resize_window would actually run the
-    hybrid kernel (same guards, kept adjacent so they cannot drift). Maps
-    narrower than the x-span are allowed (the wrapper zero-pads them); the
-    square ``sy`` side is the activation floor in both axes."""
-    sy, sx = window
+    hybrid kernel (same guards, kept adjacent so they cannot drift).
+
+    Maps smaller than a window span are allowed at ANY image size (the
+    wrapper zero-pads them — resolution-general, VERDICT r4 #3); the only
+    size floor is economic, not correctness: when the base P2 map is
+    smaller than twice the primary window side the whole pyramid is tiny
+    and the XLA gather is already trivially cheap (also keeps small-image
+    CPU tests off the slow interpret-mode kernel)."""
+    sy0 = windows[0][0]
+    sy_min = min(sy for sy, _ in windows)
+    sx_min = min(sx for _, sx in windows)
+    sy_max = max(sy for sy, _ in windows)
+    sx_max = max(sx for _, sx in windows)
     return not (
         len(features) > 4
         or features[0].shape[0] > 64              # 6-bit batch field
-        or any(f.shape[1] < sy or f.shape[2] < sy for f in features)
-        or any((max(f.shape[2], sx) - sx) // 8 >= 256  # 8-bit x0//8 field
-               or f.shape[1] - sy >= 2 ** 15 for f in features))
+        or min(features[0].shape[1], features[0].shape[2]) < 2 * sy0
+        or any((max(f.shape[2], sx_max) - sx_min) // 8 >= 256  # x0//8 field
+               or max(f.shape[1], sy_max) - sy_min >= 2 ** 13
+               for f in features))
+
+
+def window_path_active_for_image(image_size: int, window_side: int,
+                                 batch: int = 1) -> bool:
+    """Static predicate: will the production pooling run the window kernel
+    at this image size? Mirrors _window_path_active over the standard FPN
+    pyramid shapes (P2..P5 = size/4 .. size/32) — used by the eval loop to
+    LOG per-scale kernel activity in multi-scale testing (VERDICT r4 #3:
+    no scale may silently drop off the production kernel unannounced)."""
+    shapes = [jax.ShapeDtypeStruct(
+        (batch, int(image_size) // s, int(image_size) // s, 1), jnp.float32)
+        for s in (4, 8, 16, 32)]
+    return _window_path_active(
+        shapes, ((int(window_side), int(window_side) + 8),))
 
 
 def hybrid_unfit_overflow(
@@ -465,6 +596,7 @@ def hybrid_unfit_overflow(
     crop_size: Tuple[int, int],
     window: Tuple[int, int] = (32, 40),
     fallback_div: int = 16,
+    shape_classes: bool = False,
 ) -> jax.Array:
     """Count of boxes whose values the hybrid silently tap-truncates.
 
@@ -474,17 +606,28 @@ def hybrid_unfit_overflow(
     ``max(0, n_unfit - fallback_k)``, int32 scalar, 0 when the wrapper
     would route entirely to XLA — is the silent-degradation signal VERDICT
     r3 #3 asks to surface in metrics: production shapes must keep it 0.
+    ``shape_classes`` must mirror the pooling call's flag: a box counts as
+    fit when ANY class window fits it.
 
     Pure box math (window_origins_and_fits) — costs nothing next to the
     pooling itself."""
     n = boxes.shape[0]
-    if n == 0 or not _window_path_active(features, window):
+    windows = (shape_class_windows(tuple(window)) if shape_classes
+               else (tuple(window),))
+    if n == 0 or not _window_path_active(features, windows):
         return jnp.zeros((), jnp.int32)
     heights = jnp.array([f.shape[1] for f in features], jnp.int32)
     widths = jnp.array([f.shape[2] for f in features], jnp.int32)
-    _, _, fits = window_origins_and_fits(
-        boxes, level_idx.astype(jnp.int32), heights, widths,
-        tuple(crop_size), tuple(window))
+    sy_max = max(sy for sy, _ in windows)
+    sx_max = max(sx for _, sx in windows)
+    ph = jnp.maximum(heights, sy_max)
+    pw = phys_widths_for(widths, sx_max)
+    fits = jnp.zeros((n,), bool)
+    for w in windows:
+        _, _, f = window_origins_and_fits(
+            boxes, level_idx.astype(jnp.int32), heights, widths,
+            tuple(crop_size), w, phys_widths=pw, phys_heights=ph)
+        fits = fits | f
     fallback_k = min(n, max(8, n // fallback_div))
     n_unfit = jnp.sum((~fits).astype(jnp.int32))
     return jnp.maximum(0, n_unfit - fallback_k)
@@ -501,6 +644,7 @@ def multilevel_crop_and_resize_window(
     window: Tuple[int, int] = (32, 40),
     interpret: bool = None,
     fallback_div: int = 16,
+    shape_classes: bool = False,
 ):
     """Drop-in for ops.roi_align.multilevel_crop_and_resize backed by the
     window-DMA kernel (1.26-1.62x on v5e), with an exact XLA fallback for
@@ -508,22 +652,30 @@ def multilevel_crop_and_resize_window(
 
     ``fallback_div``: the exact-XLA fallback budget is ``max(8,
     n // fallback_div)`` — 16 (6.25%) covers object-like distributions
-    (unfit ~0.4% at the rectangular default window). The inference-time
-    CLASSIFIER pooling runs the full 1000-proposal list whose low-score
-    noise tail has arbitrary aspect ratios (~12.7% unfit measured on a
-    converged synthetic model, results/audit/) — the intertwiner passes 4
-    (25%) there so eval detections stay exact, at ~linear gather cost for
-    the covered fraction.
+    (unfit ~0.4% at the rectangular default window).
 
-    Guards: maps smaller than the window (images < 1024² shrink P5 below
-    32 cells) fall back to the pure XLA path entirely, and non-TPU
-    backends run the kernel in interpret mode — so the flag is safe at any
-    config, and tests/virtual-CPU meshes exercise the same code path.
+    ``shape_classes``: adds the wide-flat and tall-thin window classes
+    (shape_class_windows) so the proposal noise tail's extreme aspect
+    ratios pool in-kernel instead of eating the fallback budget — the
+    inference-time CLASSIFIER pooling (full 1000-proposal list, ~12.7%
+    unfit at the single (32, 40) window) runs with this on, which lets its
+    budget shrink back from the round-4 n//4 to n//16 (VERDICT r4 #3).
+    Eval-side only: the multi-class backward routes through the exact XLA
+    transpose (_hybrid_bwd), so keep it off pooling that backprops.
+
+    Guards: the kernel is resolution-general (short maps are zero-padded
+    per-axis — the 800/1280 scales of ``TEST.MULTI_SCALE`` run it too);
+    only a pyramid whose base map is smaller than twice the window side
+    falls back to pure XLA (tiny images — gather is already cheap there).
+    Non-TPU backends run the kernel in interpret mode — so the flag is
+    safe at any config, and tests/virtual-CPU meshes exercise the same
+    code path.
     """
     if level_idx is None:
         level_idx = assign_fpn_level(boxes, image_shape, base=assign_base) - 2
-    sy, sx = window
-    if boxes.shape[0] == 0 or not _window_path_active(features, window):
+    windows = (shape_class_windows(tuple(window)) if shape_classes
+               else (tuple(window),))
+    if boxes.shape[0] == 0 or not _window_path_active(features, windows):
         return multilevel_crop_and_resize(
             list(features), boxes, box_indices, crop_size, image_shape,
             level_idx=level_idx)
@@ -533,5 +685,5 @@ def multilevel_crop_and_resize_window(
     fallback_k = min(n, max(8, n // fallback_div))
     return _window_hybrid(
         tuple(features), boxes, box_indices.astype(jnp.int32),
-        level_idx.astype(jnp.int32), tuple(crop_size), (sy, sx), fallback_k,
+        level_idx.astype(jnp.int32), tuple(crop_size), windows, fallback_k,
         bool(interpret))

@@ -78,7 +78,10 @@ class _Tiling:
             else:
                 assert h % strip_h == 0, (h, strip_h)
                 n_strips, bh, main = h // strip_h, strip_h + sy, strip_h
-            self.levels.append(dict(H=h, W=max(w, sx), W_logical=w, C=c,
+            # physical W mirrors the forward's phys_widths_for: 8-aligned
+            # and at least the window x-span (the x0 origins index it)
+            self.levels.append(dict(H=h, W=max((w + 7) // 8 * 8, sx),
+                                    W_logical=w, C=c,
                                     n_strips=n_strips, bh=bh, main=main,
                                     base=base))
             base += n_strips * b

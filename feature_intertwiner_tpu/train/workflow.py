@@ -545,6 +545,17 @@ def _detect_images_multiscale(model, variables, cfg, val_dataset, image_ids,
     forms = [(_make_eval_infer(model.clone(image_size=int(s)), eval_masks,
                                mesh), int(round(s * ratio)), int(s))
              for s in scales]
+    if getattr(model, "roi_window_kernel", False):
+        # per-scale kernel-activity log (VERDICT r4 #3): the kernel is
+        # resolution-general, but tiny scales still route to the XLA
+        # gather — that must be announced, never silent
+        from ..ops.roi_align_window import window_path_active_for_image
+        for s in scales:
+            active = window_path_active_for_image(int(s), model.roi_window)
+            print_log(
+                f"[multi-scale] scale {int(s)}: window-DMA RoIAlign kernel "
+                + ("ACTIVE" if active else "inactive (XLA gather path)"),
+                cfg.MISC.LOG_FILE)
 
     def combine(per_image):
         return fuse_multiscale(per_image, cfg.TEST.DET_MAX_INSTANCES,

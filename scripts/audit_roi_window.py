@@ -33,10 +33,12 @@ Two parts, one tracked record (results/audit/roi_window_audit.json):
    silent-degradation channel is INSTRUMENTED: a 320² checkpoint evaluated
    with the kernel forced on at an 8-cell window (smaller than most box
    footprints, so taps truncate en masse). Expected: the overflow counter
-   fires massively and AP collapses vs the gather path. Note the CLI never
-   runs this — `multilevel_crop_and_resize_window` falls back to pure XLA
-   whenever any pyramid map is smaller than the window (images < 1024²),
-   which `tests/test_roi_align_window.py` pins.
+   fires massively and AP collapses vs the gather path. The CLI never
+   runs an 8-cell window — its default (32, 40) window fits the
+   scale-invariant cell footprints of eqn-1-assigned boxes at any image
+   size (the round-5 kernel is resolution-general; only pyramids whose
+   base map is under twice the window side drop to the XLA gather, which
+   `tests/test_roi_align_window.py` pins).
 
 Reference semantics: lib/roi_align/src/cuda/crop_and_resize_kernel.cu:17-82.
 

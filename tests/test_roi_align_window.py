@@ -127,29 +127,33 @@ def test_hybrid_gradient_matches_xla_path(rng):
                                    rtol=0, atol=1e-4)
 
 
-def test_fit_test_uses_realigned_origin(rng):
-    """Regression: on levels whose width is not a multiple of 8 (image sizes
-    that are multiples of 64 but not 256, e.g. 1088 -> P5 34 wide), clipping
-    the x-origin to dim-span and re-aligning it down slides the window LEFT
-    of the span the fit test validated. The fit test must use the final
-    origin, or right-edge taps are silently zeroed while fits stays True."""
+def test_right_edge_boxes_on_nonmultiple_of_8_maps(rng):
+    """Regression, round 4 then strengthened in round 5: on levels whose
+    width is not a multiple of 8 (e.g. 1088 -> P5 34 wide, 800 -> P3 100
+    wide), clipping the x-origin to dim-span and re-aligning it down used
+    to slide the window LEFT of the span the fit test validated. Since
+    phys_widths_for rounds physical widths up to the 8-cell sublane tile,
+    the clamp bound is itself aligned and right-edge boxes FIT and match
+    the exact XLA gather (the fit test still uses the final origin as a
+    safety net)."""
     feats = [jnp.asarray(rng.randn(1, s, s, 16), jnp.float32)
              for s in (68, 34, 34, 34)]
-    # P5 (34 wide): sample cells [27..33]; aligned lo=24, but the origin
-    # clips to 34-32=2 then re-aligns to 0 -> taps 32,33 fall outside
+    # P5 (34 wide): sample cells [27..33] — the window DMA now reaches
+    # them via the 40-wide padded buffer (origin 8, cols 34-39 zeros)
     edge = jnp.asarray([[0.3, 27.0 / 33.0, 0.5, 1.0]], jnp.float32)
     boxes = jnp.tile(edge, (8, 1))
     bidx = jnp.zeros(8, jnp.int32)
     lvl = jnp.full((8,), 3, jnp.int32)
-    _, fits = multilevel_roi_align_window(
+    got_k, fits = multilevel_roi_align_window(
         feats, boxes, bidx, lvl, (7, 7), window=(32, 32), box_tile=8,
         interpret=True)
-    assert not np.asarray(fits).any()
-    # and the hybrid therefore routes them through the exact XLA path
-    from feature_intertwiner_tpu.ops.roi_align_window import (
-        multilevel_crop_and_resize_window)
+    assert np.asarray(fits).all()
     ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
                                      (1088, 1088), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
     got = multilevel_crop_and_resize_window(
         feats, boxes, bidx, (7, 7), (1088, 1088), level_idx=lvl,
         interpret=True)
@@ -385,11 +389,12 @@ def test_rect_window_pads_narrow_levels_and_fits_giant_boxes(rng):
                                    rtol=0, atol=1e-4)
 
 
-def test_eval_classifier_budget_wider_than_train(rng):
-    """The inference classifier pooling must budget n//4 of exact-XLA
-    fallback (the 1000-proposal noise tail, results/audit/) while train
-    pooling keeps n//16 — pinned through hybrid_unfit_overflow, whose div
-    must match the pooling wrappers' routing."""
+def test_eval_classifier_budget_matches_train_with_shape_classes(rng):
+    """Both train and eval pooling budget n//16 of exact-XLA fallback;
+    the eval classifier additionally runs the SHAPE CLASSES (round 4's
+    n//4 eval budget is retired — VERDICT r4 #3). Full-image boxes forced
+    onto P2 span 64 cells and fit no class, so the counter sees them
+    identically in both modes."""
     from feature_intertwiner_tpu.ops.roi_align_window import (
         hybrid_unfit_overflow)
     feats = _pyramid(rng)
@@ -400,6 +405,138 @@ def test_eval_classifier_budget_wider_than_train(rng):
     ov_train = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40),
                                      fallback_div=16)
     ov_eval = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40),
-                                    fallback_div=4)
+                                    fallback_div=16, shape_classes=True)
     assert int(ov_train) == 320 - 320 // 16
-    assert int(ov_eval) == 320 - 320 // 4
+    assert int(ov_eval) == 320 - 320 // 16
+
+
+# ---------------------------------------------------------------------------
+# shape-classed windows + resolution generality (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+def test_shape_class_windows_derivation():
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        shape_class_windows)
+    assert shape_class_windows((32, 40)) == ((32, 40), (16, 72), (64, 24))
+    for w in shape_class_windows((8, 16)):
+        assert w[1] % 8 == 0, w
+
+
+def test_shape_classes_pool_extreme_aspects_in_kernel(rng):
+    """Wide-flat and tall-thin boxes that overflow the primary (32, 40)
+    window must fit a shape class and pool EXACTLY in-kernel (not via the
+    fallback: fits must be True for every box)."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        shape_class_windows)
+
+    feats = _pyramid(rng)
+    n = 16
+    # on P2 (64 cells): wide 10x56 cells, tall 56x10 cells, plus square 20s
+    wide = np.stack([np.full(n, 0.1), np.full(n, 0.05),
+                     np.full(n, 0.1 + 10 / 64), np.full(n, 0.05 + 56 / 64)],
+                    1)
+    tall = np.stack([np.full(n, 0.05), np.full(n, 0.2),
+                     np.full(n, 0.05 + 56 / 64), np.full(n, 0.2 + 10 / 64)],
+                    1)
+    sq = np.stack([np.full(n, 0.3), np.full(n, 0.3),
+                   np.full(n, 0.3 + 20 / 64), np.full(n, 0.3 + 20 / 64)], 1)
+    boxes = jnp.asarray(np.concatenate([wide, tall, sq]).astype(np.float32))
+    bidx = jnp.zeros(3 * n, jnp.int32)
+    lvl = jnp.zeros(3 * n, jnp.int32)
+
+    _, fits_single = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 40), box_tile=16,
+        interpret=True)
+    fits_single = np.asarray(fits_single)
+    assert not fits_single[:2 * n].any(), "extremes must overflow (32, 40)"
+    assert fits_single[2 * n:].all()
+
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7),
+        windows=shape_class_windows((32, 40)), box_tile=16, interpret=True)
+    assert np.asarray(fits).all(), "every box must fit some shape class"
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_shape_classed_hybrid_exact_with_minimal_fallback(rng):
+    """The hybrid with shape classes on must be exact for an extreme-aspect
+    mix even at the n//16 fallback budget (the classes absorb what round 4
+    needed n//4 of gather fallback for)."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    feats = _pyramid(rng)
+    boxes, bidx, lvl = _boxes(rng, 48)
+    wide = jnp.asarray([[0.1, 0.05, 0.1 + 10 / 64, 0.05 + 56 / 64]] * 8,
+                       jnp.float32)
+    tall = jnp.asarray([[0.05, 0.2, 0.05 + 56 / 64, 0.2 + 10 / 64]] * 8,
+                       jnp.float32)
+    boxes = jnp.concatenate([boxes, wide, tall])
+    bidx = jnp.concatenate([bidx, jnp.zeros(16, jnp.int32)])
+    lvl = jnp.concatenate([lvl, jnp.zeros(16, jnp.int32)])
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (IMAGE, IMAGE), level_idx=lvl)
+    got = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (IMAGE, IMAGE), level_idx=lvl,
+        fallback_div=16, shape_classes=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_resolution_general_kernel_at_800_scale(rng):
+    """The 800-scale pyramid (P5 = 25 < the 32-cell window side) must run
+    the kernel with internally Y/X-padded maps, not silently drop to the
+    gather path (the round-4 gap: TEST.MULTI_SCALE's 800 pass ran off the
+    production kernel). Boxes at eqn-1 levels keep scale-invariant cell
+    footprints, so they fit the same (32, 40) window."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        _window_path_active, multilevel_crop_and_resize_window)
+
+    img = 800
+    feats = [jnp.asarray(rng.randn(1, s, s, 32), jnp.float32)
+             for s in (200, 100, 50, 25)]
+    assert _window_path_active(feats, ((32, 40),)), (
+        "800-scale pyramid must keep the window path active")
+    # aspect <= 2 (the anchor band): the (32, 40) fit guarantee covers
+    # bounded aspects; extreme shapes are the shape classes' job
+    sa = np.exp(rng.uniform(np.log(0.03), np.log(0.5), 64))
+    r = np.exp(rng.uniform(-np.log(2.0), np.log(2.0), 64))
+    h = np.minimum(sa * np.sqrt(r), 0.95)
+    w = np.minimum(sa / np.sqrt(r), 0.95)
+    yx = rng.rand(64, 2) * np.stack([1 - h, 1 - w], 1)
+    boxes = jnp.asarray(np.concatenate(
+        [yx, yx + np.stack([h, w], 1)], 1).astype(np.float32))
+    bidx = jnp.zeros(64, jnp.int32)
+    lvl = jnp.clip(assign_fpn_level(boxes, (img, img)) - 2, 0, 3)
+    got, fits = multilevel_roi_align_window(
+        feats, boxes, bidx, lvl, (7, 7), window=(32, 40), box_tile=32,
+        interpret=True)
+    assert np.asarray(fits).all()
+    ref = multilevel_crop_and_resize(feats, boxes, bidx, (7, 7),
+                                     (img, img), level_idx=lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+    # and through the full hybrid (shape classes on, the eval-path config)
+    got2 = multilevel_crop_and_resize_window(
+        feats, boxes, bidx, (7, 7), (img, img), level_idx=lvl,
+        shape_classes=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_overflow_counter_shrinks_with_shape_classes(rng):
+    """On an extreme-aspect mix the any-class fit must strictly beat the
+    single-window fit — the mechanism that lets the eval budget shrink."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        hybrid_unfit_overflow)
+    img = 1024
+    boxes = TestUnfitOverflow._boxes_with_aspect(rng, 2048, img,
+                                                 ratio_max=64.0)
+    lvl = jnp.clip(assign_fpn_level(boxes, (img, img)) - 2, 0, 3)
+    feats = [jnp.zeros((1, img // s, img // s, 4)) for s in (4, 8, 16, 32)]
+    ov_single = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40))
+    ov_classed = hybrid_unfit_overflow(feats, boxes, lvl, (7, 7), (32, 40),
+                                       shape_classes=True)
+    assert int(ov_classed) < int(ov_single)
