@@ -526,6 +526,39 @@ def test_resolution_general_kernel_at_800_scale(rng):
                                rtol=0, atol=5e-5)
 
 
+def test_hybrid_gradient_exact_on_y_padded_pyramid(rng):
+    """At image sizes whose P5 is shorter than the window side (e.g. 800²)
+    the forward runs the kernel on Y-padded maps while the strip-tiled
+    backward is unsupported (bwd_kernel_supported requires H >= sy) — the
+    hybrid must fall back to the exact XLA transpose and match the gather
+    path's gradient."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        multilevel_crop_and_resize_window)
+
+    img = 800
+    feats = [jnp.asarray(rng.randn(1, s, s, 16), jnp.float32)
+             for s in (200, 100, 50, 25)]
+    boxes, bidx, lvl = _boxes(rng, 16, b=1)
+    cot = jnp.asarray(rng.randn(16, 7, 7, 16), jnp.float32)
+
+    def loss_win(fs):
+        out = multilevel_crop_and_resize_window(
+            fs, boxes, bidx, (7, 7), (img, img), level_idx=lvl,
+            interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(fs):
+        out = multilevel_crop_and_resize(list(fs), boxes, bidx, (7, 7),
+                                         (img, img), level_idx=lvl)
+        return jnp.sum(out * cot)
+
+    g_win = jax.grad(loss_win)(tuple(feats))
+    g_xla = jax.grad(loss_xla)(tuple(feats))
+    for a, b in zip(g_win, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-4)
+
+
 def test_overflow_counter_shrinks_with_shape_classes(rng):
     """On an extreme-aspect mix the any-class fit must strictly beat the
     single-window fit — the mechanism that lets the eval budget shrink."""
