@@ -54,8 +54,17 @@ RICH_COLORS = np.array([
 
 def generate(root: str, num_images: int = 8, size: Tuple[int, int] = (240, 320),
              year: str = "2014", split: str = "minival", seed: int = 0,
-             max_instances: int = 4) -> str:
-    """Write a synthetic dataset; returns the annotation json path."""
+             max_instances: int = 4, small_frac: float = 0.0,
+             medium_frac: float = 0.0) -> str:
+    """Write a synthetic dataset; returns the annotation json path.
+
+    ``small_frac`` / ``medium_frac``: fractions of instances drawn inside
+    the COCO 'small' (< 32², sides 10-31 px) and 'medium' (32²..96²,
+    sides 34-90 px) area buckets — the default draw (30..dim/2 px) lands
+    mostly in 'large', which makes the area-bucket stats
+    one-detection-granular even at 128 images
+    (scripts/audit_roi_window.py gates all 12 stats and needs ~100+
+    instances per bucket for a 0.02 tolerance)."""
     rng = np.random.RandomState(seed)
     h, w = size
     img_dir = os.path.join(root, f"val{year}")
@@ -75,8 +84,18 @@ def generate(root: str, num_images: int = 8, size: Tuple[int, int] = (240, 320),
             # bw < w always holds and the position draw below stays valid
             lo_w = max(2, min(30, w // 4, w // 2 - 1))
             lo_h = max(2, min(30, h // 4, h // 2 - 1))
-            bw = int(rng.randint(lo_w, max(w // 2, lo_w + 1)))
-            bh = int(rng.randint(lo_h, max(h // 2, lo_h + 1)))
+            u = rng.rand()
+            if small_frac and u < small_frac:
+                # COCO-small instance: both sides < 32 px (area < 32²)
+                bw = int(rng.randint(10, min(32, w // 2)))
+                bh = int(rng.randint(10, min(32, h // 2)))
+            elif medium_frac and u < small_frac + medium_frac:
+                # COCO-medium: sides 34-90 px keep 32² <= area < 96²
+                bw = int(rng.randint(34, min(91, w // 2)))
+                bh = int(rng.randint(34, min(91, h // 2)))
+            else:
+                bw = int(rng.randint(lo_w, max(w // 2, lo_w + 1)))
+                bh = int(rng.randint(lo_h, max(h // 2, lo_h + 1)))
             x0 = int(rng.randint(0, max(w - bw, 1)))
             y0 = int(rng.randint(0, max(h - bh, 1)))
             color = rng.randint(90, 255, 3)

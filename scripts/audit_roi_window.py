@@ -94,11 +94,15 @@ def prod_audit():
                                                     make_train_step)
     from feature_intertwiner_tpu.train.workflow import test_model
 
-    root = os.path.join(AUDIT_DIR, "data_1024v3")
+    root = os.path.join(AUDIT_DIR, "data_1024v4")
     if not os.path.exists(os.path.join(root, "annotations",
                                        "instances_minival2014.json")):
+        # small/medium fracs give every COCO area bucket ~100 instances at
+        # 128 images — the v3 audit data held ~15 small / ~31 medium
+        # instances, so those stats flipped by 1/15 on a single detection
         synthetic.generate(root, num_images=PROD_VAL_IMAGES,
-                           size=(768, 1024), seed=7)
+                           size=(768, 1024), seed=7, small_frac=0.35,
+                           medium_frac=0.33)
 
     cfg = build_config()
     cfg.CTRL.QUICK_VERIFY = True
