@@ -559,6 +559,20 @@ def test_hybrid_gradient_exact_on_y_padded_pyramid(rng):
                                    rtol=0, atol=1e-4)
 
 
+def test_window_path_active_for_image_thresholds():
+    """The eval loop's per-scale log predicate: every production
+    TEST.MULTI_SCALE scale runs the kernel; tiny images drop to gather
+    (base map under twice the window side)."""
+    from feature_intertwiner_tpu.ops.roi_align_window import (
+        window_path_active_for_image)
+    for s in (800, 1024, 1280):
+        assert window_path_active_for_image(s, 32), s
+    for s in (96, 128, 240):
+        assert not window_path_active_for_image(s, 32), s
+    # the dryrun geometry: 256² with an 8-cell window is active
+    assert window_path_active_for_image(256, 8)
+
+
 def test_overflow_counter_shrinks_with_shape_classes(rng):
     """On an extreme-aspect mix the any-class fit must strictly beat the
     single-window fit — the mechanism that lets the eval budget shrink."""
