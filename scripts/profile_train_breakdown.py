@@ -82,7 +82,7 @@ def cost(compiled):
         return 0.0, 0.0
 
 
-def timeit(name, compiled, *args):
+def timeit(name, compiled, *args, cost_obj=None):
     o = compiled(*args)
     np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[0])
     ts = []
@@ -92,7 +92,7 @@ def timeit(name, compiled, *args):
         np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[0])
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
-    fl, by = cost(compiled)
+    fl, by = cost(cost_obj if cost_obj is not None else compiled)
     print(f"{name:34s} {dt * 1e3:8.1f} ms/step  {B / dt:6.2f} img/s  "
           f"MFU {100 * fl / dt / PEAK_FLOPS:5.1f}%  "
           f"HBM {by / 1e9:6.1f} GB ({100 * by / dt / PEAK_BW:5.1f}% util)")
@@ -112,7 +112,7 @@ def full_variant(name, **kw):
             ns, m = compiled(s, data, jnp.float32(1e-3), jnp.float32(1.0),
                              rng)
             return m["total_loss"]
-        return timeit(name, run, state)
+        return timeit(name, run, state, cost_obj=compiled)
     except Exception as e:  # noqa: BLE001 — OOM probes must report, not die
         print(f"{name:34s} FAILED: {type(e).__name__}: {str(e)[:120]}")
         return None
@@ -132,7 +132,7 @@ def main():
     def full(s):
         ns, m = compiled(s, data, jnp.float32(1e-3), jnp.float32(1.0), rng)
         return m["total_loss"]
-    t_full = timeit("full step (shipping)", full, state)
+    t_full = timeit("full step (shipping)", full, state, cost_obj=compiled)
 
     def losses(params):
         v = {"params": params}
@@ -150,8 +150,13 @@ def main():
     fwd_c = jax.jit(losses).lower(state.params).compile()
     t_fwd = timeit("forward only", fwd_c, state.params)
 
+    # Reduce over EVERY gradient leaf: returning a single leaf (e.g. the
+    # fpn p5_lateral kernel) lets XLA dead-code-eliminate the backbone
+    # backward entirely — the probe then reads ~40 ms instead of the real
+    # backward and misattributes it to the optimizer by subtraction.
     grad_c = jax.jit(
-        lambda p: jax.grad(losses)(p)["fpn"]["p5_lateral"]["kernel"]
+        lambda p: sum(jnp.sum(jnp.square(g))
+                      for g in jax.tree_util.tree_leaves(jax.grad(losses)(p)))
     ).lower(state.params).compile()
     t_fb = timeit("fwd+bwd (no optim/buffer)", grad_c, state.params)
 
